@@ -1,0 +1,200 @@
+"""Array utilities (layer L0 of the framework).
+
+Mirrors the capability surface of the reference's ``pb_bss/utils.py``
+(see /root/reference/pb_bss/utils.py:111,172,185,197,281,306) but is
+implemented JAX-first: every helper is jit-compatible, dtype-polymorphic
+and broadcast-friendly so it can run inside compiled EM loops on TPU.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    'abs_square',
+    'unsqueeze',
+    'is_broadcast_compatible',
+    'labels_to_one_hot',
+    'get_stft_center_frequencies',
+    'reshape',
+]
+
+
+def abs_square(x):
+    """Squared magnitude, |x|^2, without the sqrt of ``abs``.
+
+    Works for real and complex inputs (reference: pb_bss/utils.py:281).
+
+    >>> import numpy as np
+    >>> float(abs_square(np.array(3 + 4j)))
+    25.0
+    >>> float(abs_square(np.array(3.0)))
+    9.0
+    """
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        return jnp.real(x) ** 2 + jnp.imag(x) ** 2
+    return x ** 2
+
+
+def unsqueeze(array, axis):
+    """Insert singleton dimensions at the (possibly negative) positions.
+
+    >>> unsqueeze(np.ones((2, 3)), (-3, -1)).shape
+    (2, 1, 3, 1)
+    >>> unsqueeze(13, (-2, -1)).shape
+    (1, 1)
+    """
+    array = jnp.asarray(array)
+    shape = list(array.shape)
+    future_ndim = len(shape) + len(axis)
+    axis = [a % future_ndim for a in axis]
+    for p in sorted(axis):
+        shape.insert(p, 1)
+    return jnp.reshape(array, shape)
+
+
+def is_broadcast_compatible(*shapes):
+    """True when all shapes can be broadcast against each other.
+
+    >>> is_broadcast_compatible((5, 1, 6), (5, 3, 6))
+    True
+    >>> is_broadcast_compatible((5, 2, 6), (5, 3, 6))
+    False
+    """
+    if len(shapes) < 2:
+        return True
+    for dim in zip(*[shape[::-1] for shape in shapes]):
+        if len(set(dim).union({1})) > 2:
+            return False
+    return True
+
+
+def labels_to_one_hot(labels, categories: int, axis: int = 0,
+                      keepdims=False, dtype=bool):
+    """One-hot encode integer labels along ``axis``.
+
+    Mirrors the behaviour of the reference (pb_bss/utils.py:197) but is
+    expressed with a comparison against an iota so it stays vectorized
+    under jit.
+
+    >>> labels_to_one_hot([0, 1], categories=4)
+    array([[ True, False],
+           [False,  True],
+           [False, False],
+           [False, False]])
+    >>> labels_to_one_hot([0, 1], categories=4, axis=-1)
+    array([[ True, False, False, False],
+           [False,  True, False, False]])
+    """
+    labels = np.asarray(labels)
+
+    if keepdims:
+        assert labels.shape[axis] == 1
+        result_ndim = labels.ndim
+    else:
+        result_ndim = labels.ndim + 1
+
+    if axis < 0:
+        axis += result_ndim
+
+    onehot = (
+        labels[..., None] == np.arange(categories)
+    ).astype(dtype)  # (..., categories)
+
+    if keepdims:
+        onehot = onehot[(slice(None),) * (axis + 1) + (0,)]
+        onehot = np.moveaxis(onehot, -1, axis)
+    else:
+        onehot = np.moveaxis(onehot, -1, axis)
+    return onehot
+
+
+def get_stft_center_frequencies(size=1024, sample_rate=16000):
+    """Center frequency in Hz of each STFT bin (reference: utils.py:172).
+
+    >>> get_stft_center_frequencies(4, 16000)
+    array([   0., 4000., 8000.])
+    """
+    frequency_index = np.arange(0, size / 2 + 1)
+    return frequency_index * sample_rate / size
+
+
+def reshape(array, operation):
+    """einops-like reshape/transpose: ``'f t d -> d (f t)'``.
+
+    Supports transposition, squeezing of literal ``1`` axes and flattening
+    of output groups written either as ``(a b)`` or ``a*b``
+    (reference: pb_bss/utils.py:72). Unflatten is not supported because
+    concrete sizes are not available here.
+
+    >>> reshape(np.zeros((2, 3, 4)), 'f t d -> d (f t)').shape
+    (4, 6)
+    >>> reshape(np.zeros((2, 3, 4)), 'f t d -> d t f').shape
+    (4, 3, 2)
+    """
+    op = operation.replace(',', ' ').replace('(', ' ').replace(')', ' ')
+    # normalize '*' to spaces inside groups is handled below
+    lhs, rhs = operation.split('->')
+
+    def tokens(side):
+        side = side.replace(',', ' ')
+        side = side.replace('*', ' * ')
+        side = side.replace('(', ' ( ').replace(')', ' ) ')
+        return side.split()
+
+    lhs_t = [t for t in tokens(lhs) if t not in '()*']
+    if any(t in tokens(lhs) for t in ('*', '(')):
+        raise NotImplementedError(
+            'Unflatten operation not supported by design. '
+            'Actual values for dimensions are not available to this function.'
+        )
+
+    array = jnp.asarray(array)
+
+    # squeeze literal 1 axes
+    squeeze_axes = [i for i, t in enumerate(lhs_t) if t == '1']
+    for ax in reversed(squeeze_axes):
+        array = jnp.squeeze(array, axis=ax)
+    lhs_names = [t for t in lhs_t if t != '1']
+
+    # parse rhs into groups; '*' joins the next token into the previous group
+    rhs_groups = []
+    group = None
+    join_next = False
+    for t in tokens(rhs):
+        if t == '(':
+            group = []
+        elif t == ')':
+            rhs_groups.append(group)
+            group = None
+        elif t == '*':
+            join_next = True
+        elif group is not None:
+            group.append(t)
+        elif join_next:
+            rhs_groups[-1].append(t)
+            join_next = False
+        else:
+            rhs_groups.append([t])
+
+    flat_rhs = [n for g in rhs_groups for n in g if n != '1']
+    # transpose
+    perm = [lhs_names.index(n) for n in flat_rhs]
+    array = jnp.transpose(array, perm)
+
+    # final reshape
+    out_shape = []
+    i = 0
+    for g in rhs_groups:
+        if g == ['1']:
+            out_shape.append(1)
+            continue
+        size = 1
+        for n in g:
+            if n == '1':
+                continue
+            size *= array.shape[i]
+            i += 1
+        out_shape.append(size)
+    return jnp.reshape(array, out_shape)
