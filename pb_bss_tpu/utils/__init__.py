@@ -98,16 +98,16 @@ def labels_to_one_hot(labels, categories: int, axis: int = 0,
     if axis < 0:
         axis += result_ndim
 
+    # categories-first layout, then move into place (mirrors the
+    # reference semantics including the keepdims slice)
     onehot = (
-        labels[..., None] == np.arange(categories)
-    ).astype(dtype)  # (..., categories)
+        np.arange(categories).reshape((categories,) + (1,) * labels.ndim)
+        == labels[None]
+    ).astype(dtype)  # (categories, ...)
 
     if keepdims:
         onehot = onehot[(slice(None),) * (axis + 1) + (0,)]
-        onehot = np.moveaxis(onehot, -1, axis)
-    else:
-        onehot = np.moveaxis(onehot, -1, axis)
-    return onehot
+    return np.moveaxis(onehot, 0, axis)
 
 
 def get_stft_center_frequencies(size=1024, sample_rate=16000):
