@@ -1,0 +1,33 @@
+"""Distribution layer: complex directional densities + EM trainers.
+
+Exported under both ``pb_bss_tpu.models`` and the reference-compatible
+alias ``pb_bss_tpu.distribution``.
+"""
+from .base import (  # noqa: F401
+    Model,
+    modelclass,
+    parameter_from_dict,
+    get_trainer_class_from_model,
+    stack_parameters,
+    force_hermitian,
+)
+from .complex_circular_symmetric_gaussian import (  # noqa: F401
+    ComplexCircularSymmetricGaussian,
+    ComplexCircularSymmetricGaussianTrainer,
+)
+from .complex_angular_central_gaussian import (  # noqa: F401
+    ComplexAngularCentralGaussian,
+    ComplexAngularCentralGaussianTrainer,
+    normalize_observation,
+    sample_complex_angular_central_gaussian,
+)
+from .cacgmm import (  # noqa: F401
+    CACGMM,
+    CACGMMTrainer,
+    sample_cacgmm,
+)
+from . import mixture_model_utils  # noqa: F401
+from .mixture_model_utils import (  # noqa: F401
+    estimate_mixture_weight,
+    log_pdf_to_affiliation,
+)

@@ -1,0 +1,345 @@
+"""cACGMM — the flagship spatial mixture model.
+
+Capability parity with reference ``pb_bss/distribution/cacgmm.py``
+(predict :64-95, log_likelihood :97-138, trainer with all three init
+modes, saliency/source-activity-mask/weight_constant_axis knobs and
+optional inline permutation alignment :141-345).
+
+TPU-first realization: the whole EM loop is a single jitted program —
+one ``lax.scan`` over iterations whose carry is the model pytree. Each
+iteration is (E-step: batched quadratic-form matmul + posterior; M-step:
+batched scatter matmul + Jacobi eigh). The independent frequency axis
+broadcasts through every op, so sharding y over a device mesh
+data-parallelizes the whole loop (weights with a frequency-constant
+``weight_constant_axis`` induce the only cross-shard reduction, which
+XLA lowers to a psum over ICI).
+"""
+from __future__ import annotations
+
+import functools
+from operator import xor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .base import Model, modelclass
+from .complex_angular_central_gaussian import (
+    ComplexAngularCentralGaussian,
+    ComplexAngularCentralGaussianTrainer,
+    normalize_observation,
+)
+from .mixture_model_utils import (
+    apply_inline_permutation_alignment,
+    estimate_mixture_weight,
+    log_pdf_to_affiliation,
+)
+
+__all__ = ['CACGMM', 'CACGMMTrainer', 'sample_cacgmm']
+
+
+def _tiny(x):
+    return jnp.finfo(jnp.asarray(x).real.dtype).tiny
+
+
+def sample_cacgmm(size, weight, covariance, return_label=False, key=None):
+    """Draw samples from a cACG mixture; explicit PRNG key."""
+    weight = np.asarray(weight)
+    assert weight.ndim == 1, weight
+    assert isinstance(size, int), size
+    covariance = jnp.asarray(covariance)
+    assert covariance.ndim == 3, covariance.shape
+    num_classes, = weight.shape
+    D = covariance.shape[-1]
+    assert covariance.shape == (num_classes, D, D), (
+        covariance.shape, num_classes, D)
+
+    if key is None:
+        key = jax.random.key(0)
+    key_label, *keys = jax.random.split(key, num_classes + 1)
+    labels = jax.random.choice(
+        key_label, num_classes, shape=(size,),
+        p=jnp.asarray(weight, jnp.float32))
+
+    from .complex_angular_central_gaussian import (
+        sample_complex_angular_central_gaussian,
+    )
+    # Sample every class for every slot, select by label (static shapes).
+    samples = jnp.stack([
+        sample_complex_angular_central_gaussian(
+            (size,),
+            ComplexAngularCentralGaussian.from_covariance(
+                covariance=covariance[k]).covariance,
+            key=keys[k],
+        )
+        for k in range(num_classes)
+    ])  # (K, size, D)
+    x = jnp.take_along_axis(samples, labels[None, :, None], axis=0)[0]
+    if return_label:
+        return x, labels
+    return x
+
+
+@modelclass
+class CACGMM(Model):
+    weight: jnp.ndarray = None  # (..., K, 1) or 1/K etc.
+    cacg: ComplexAngularCentralGaussian = None
+
+    def predict(self, y, return_quadratic_form=False,
+                source_activity_mask=None):
+        """y: (..., N, D) complex observations."""
+        y = jnp.asarray(y)
+        assert jnp.iscomplexobj(y), y.dtype
+        y = normalize_observation(y)
+        affiliation, quadratic_form, _ = self._predict(
+            y, source_activity_mask=source_activity_mask)
+        if return_quadratic_form:
+            return affiliation, quadratic_form
+        return affiliation
+
+    def _predict(self, y, source_activity_mask=None, affiliation_eps=0.):
+        """Internal E-step; y in time-last layout (..., D, N).
+
+        Returns (affiliation (..., K, N), quadratic_form, log_pdf).
+        """
+        log_pdf, quadratic_form = self.cacg._log_pdf(y[..., None, :, :])
+        affiliation = log_pdf_to_affiliation(
+            self.weight,
+            log_pdf,
+            source_activity_mask=source_activity_mask,
+            affiliation_eps=affiliation_eps,
+        )
+        return affiliation, quadratic_form, log_pdf
+
+    def log_likelihood(self, y):
+        """Sum log-likelihood over all leading dims and samples."""
+        y = jnp.asarray(y)
+        assert jnp.iscomplexobj(y), y.dtype
+        y = normalize_observation(y)
+        _, _, log_pdf = self._predict(y)
+        return jnp.sum(jax.scipy.special.logsumexp(log_pdf, axis=-2))
+
+
+def _m_step(y, quadratic_form, affiliation, saliency, *,
+            hermitize, covariance_norm, eigenvalue_floor,
+            weight_constant_axis):
+    weight = estimate_mixture_weight(
+        affiliation=affiliation,
+        saliency=saliency,
+        weight_constant_axis=weight_constant_axis,
+    )
+    if saliency is None:
+        masked_affiliation = affiliation
+    else:
+        masked_affiliation = affiliation * saliency[..., None, :]
+    cacg = ComplexAngularCentralGaussianTrainer()._fit(
+        y=y[..., None, :, :],
+        saliency=masked_affiliation,
+        quadratic_form=quadratic_form,
+        hermitize=hermitize,
+        covariance_norm=covariance_norm,
+        eigenvalue_floor=eigenvalue_floor,
+    )
+    return CACGMM(weight=weight, cacg=cacg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        'iterations', 'weight_constant_axis', 'hermitize', 'covariance_norm',
+        'eigenvalue_floor', 'affiliation_eps', 'aligner', 'first_e_step',
+    ),
+)
+def _fit_em(y, model, affiliation, quadratic_form, saliency,
+            source_activity_mask, *, iterations, weight_constant_axis,
+            hermitize, covariance_norm, eigenvalue_floor, affiliation_eps,
+            aligner, first_e_step):
+    """The full EM loop as one compiled program.
+
+    When ``first_e_step`` is False the loop starts from the provided
+    affiliations with one M-step (the reference's array/num_classes init
+    path, cacgmm.py:252-278); otherwise it starts from the provided
+    model with an E-step.
+    """
+    m_step = functools.partial(
+        _m_step,
+        saliency=saliency,
+        hermitize=hermitize,
+        covariance_norm=covariance_norm,
+        eigenvalue_floor=eigenvalue_floor,
+        weight_constant_axis=weight_constant_axis,
+    )
+
+    def e_then_m(model):
+        affiliation, quadratic_form, _ = model._predict(
+            y,
+            source_activity_mask=source_activity_mask,
+            affiliation_eps=affiliation_eps,
+        )
+        if aligner is not None:
+            affiliation, quadratic_form = apply_inline_permutation_alignment(
+                affiliation=affiliation,
+                quadratic_form=quadratic_form,
+                weight_constant_axis=weight_constant_axis,
+                aligner=aligner,
+            )
+        return m_step(y, quadratic_form, affiliation)
+
+    if not first_e_step:
+        model = m_step(y, quadratic_form, affiliation)
+        n_steps = iterations - 1
+    else:
+        n_steps = iterations
+
+    if n_steps > 0:
+        def step(model, _):
+            return e_then_m(model), None
+        model, _ = lax.scan(step, model, None, length=n_steps)
+    return model
+
+
+class CACGMMTrainer:
+    def fit(
+            self,
+            y,
+            initialization=None,
+            num_classes=None,
+            iterations=100,
+            *,
+            key=None,
+            saliency=None,
+            source_activity_mask=None,
+            weight_constant_axis=(-1,),
+            hermitize=True,
+            covariance_norm='eigenvalue',
+            affiliation_eps=1e-10,
+            eigenvalue_floor=1e-10,
+            inline_permutation_aligner=None,
+    ) -> CACGMM:
+        """Fit a cACGMM with EM.
+
+        Args:
+            y: (..., N, D) complex observations.
+            initialization: affiliations (..., K, N), a CACGMM, or None
+                (then ``num_classes`` + ``key`` drive a random init).
+            num_classes: K (exclusive with initialization).
+            iterations: number of M-steps.
+            key: jax PRNG key for the random affiliation init
+                (default: ``jax.random.key(0)``).
+            saliency: (..., N) importance weights.
+            source_activity_mask: bool (..., K, N).
+            weight_constant_axis: axis/axes averaged for the weight;
+                -2 fixes weights to 1/K (reference semantics).
+            hermitize / covariance_norm / affiliation_eps /
+            eigenvalue_floor: numeric guards, reference semantics.
+            inline_permutation_aligner: optional aligner run after each
+                E-step (jit-compatible, runs inside the compiled loop).
+        """
+        assert xor(initialization is None, num_classes is None), (
+            'Incompatible input combination. '
+            'Exactly one of the two inputs has to be None: '
+            f'{initialization is None} xor {num_classes is None}'
+        )
+        y = jnp.asarray(y)
+        assert jnp.iscomplexobj(y), y.dtype
+        assert y.shape[-1] > 1, y.shape
+        y = normalize_observation(y)  # (..., D, N)
+        assert iterations > 0, iterations
+
+        *independent, D, num_observations = y.shape
+
+        model = None
+        affiliation = None
+        quadratic_form = None
+        if initialization is None:
+            assert num_classes is not None, num_classes
+            if key is None:
+                key = jax.random.key(0)
+            affiliation_shape = (*independent, num_classes, num_observations)
+            affiliation = jax.random.uniform(
+                key, affiliation_shape, y.real.dtype)
+            affiliation = affiliation / jnp.sum(
+                affiliation, axis=-2, keepdims=True)
+            quadratic_form = jnp.ones(affiliation_shape, y.real.dtype)
+        elif isinstance(initialization, CACGMM):
+            num_classes = \
+                initialization.cacg.covariance_eigenvectors.shape[-3]
+            model = initialization
+        elif isinstance(initialization, (np.ndarray, jnp.ndarray)):
+            initialization = jnp.asarray(initialization)
+            num_classes = initialization.shape[-2]
+            assert num_classes > 1, num_classes
+            affiliation_shape = (*independent, num_classes, num_observations)
+            assert initialization.ndim == len(affiliation_shape), (
+                initialization.shape, affiliation_shape)
+            assert initialization.shape[-2:] == affiliation_shape[-2:], (
+                initialization.shape, affiliation_shape)
+            affiliation = jnp.broadcast_to(
+                initialization.astype(y.real.dtype), affiliation_shape)
+            quadratic_form = jnp.ones(affiliation_shape, y.real.dtype)
+        else:
+            raise TypeError('No sufficient initialization.')
+
+        if isinstance(weight_constant_axis, list):
+            weight_constant_axis = tuple(weight_constant_axis)
+
+        if source_activity_mask is not None:
+            source_activity_mask = jnp.asarray(source_activity_mask)
+            assert source_activity_mask.dtype == jnp.bool_, \
+                source_activity_mask.dtype
+            assert source_activity_mask.shape[-2:] == (
+                num_classes, num_observations), (
+                source_activity_mask.shape, independent, num_classes,
+                num_observations)
+
+        assert num_classes < 20, f'num_classes: {num_classes}, sure?'
+        assert D < 35, f'Channels: {D}, sure?'
+
+        return _fit_em(
+            y, model, affiliation, quadratic_form, saliency,
+            source_activity_mask,
+            iterations=int(iterations),
+            weight_constant_axis=weight_constant_axis,
+            hermitize=bool(hermitize),
+            covariance_norm=covariance_norm,
+            eigenvalue_floor=float(eigenvalue_floor),
+            affiliation_eps=float(affiliation_eps),
+            aligner=inline_permutation_aligner,
+            first_e_step=model is not None,
+        )
+
+    def fit_predict(
+            self,
+            y,
+            initialization=None,
+            num_classes=None,
+            iterations=100,
+            *,
+            key=None,
+            saliency=None,
+            source_activity_mask=None,
+            weight_constant_axis=(-1,),
+            hermitize=True,
+            covariance_norm='eigenvalue',
+            affiliation_eps=1e-10,
+            eigenvalue_floor=1e-10,
+            inline_permutation_aligner=None,
+    ):
+        """Fit, then return the posterior affiliations for ``y``."""
+        model = self.fit(
+            y=y,
+            initialization=initialization,
+            num_classes=num_classes,
+            iterations=iterations,
+            key=key,
+            saliency=saliency,
+            source_activity_mask=source_activity_mask,
+            weight_constant_axis=weight_constant_axis,
+            hermitize=hermitize,
+            covariance_norm=covariance_norm,
+            affiliation_eps=affiliation_eps,
+            eigenvalue_floor=eigenvalue_floor,
+            inline_permutation_aligner=inline_permutation_aligner,
+        )
+        return model.predict(y)

@@ -1,0 +1,206 @@
+"""STFT / iSTFT frontend.
+
+The reference outsources the STFT to nara_wpe
+(reference: tests/test_distribution/test_spatial_mm.py:4,17-22 uses
+``stft(signal, 512, 128)`` with the default Blackman window and edge
+fading). This framework owns the transform: framing + rfft under jit,
+with a bias-compensated overlap-add synthesis window so that
+``istft(stft(x)) == x`` to machine precision for any window/shift.
+
+Conventions (matching the reference usage):
+    * ``stft``: (..., num_samples) -> (..., T, F) complex, F = size//2+1
+    * ``fading=True`` pads ``size - shift`` zeros on both ends so every
+      sample receives full window coverage,
+    * iSTFT synthesis uses the biorthogonal window
+      ``w / sum_k w^2[n + k*shift]`` (perfect reconstruction OLA).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+__all__ = ['stft', 'istft', 'STFT']
+
+
+def _blackman(size):
+    # periodic Blackman (matches scipy.signal.blackman(size, sym=False))
+    return scipy.signal.get_window('blackman', size, fftbins=True)
+
+
+def _hann(size):
+    return scipy.signal.get_window('hann', size, fftbins=True)
+
+
+_WINDOWS = {
+    'blackman': _blackman,
+    'hann': _hann,
+    'hamming': lambda size: scipy.signal.get_window(
+        'hamming', size, fftbins=True),
+    'boxcar': lambda size: np.ones(size),
+}
+
+
+def _get_window(window, size):
+    if callable(window):
+        return np.asarray(window(size), np.float64)
+    return np.asarray(_WINDOWS[window](size), np.float64)
+
+
+def _biorthogonal_window(analysis_window, shift):
+    """Synthesis window for perfect-reconstruction overlap-add.
+
+    For each sample position within a frame, divides the analysis
+    window by the overlapped sum of squared analysis windows.
+    """
+    size = len(analysis_window)
+    denominator = np.zeros(size)
+    for offset in range(-(size // shift), size // shift + 1):
+        shifted = np.zeros(size)
+        lo = offset * shift
+        src_lo = max(0, lo)
+        src_hi = min(size, size + lo)
+        if src_lo < src_hi:
+            shifted[src_lo - lo:src_hi - lo] = (
+                analysis_window[src_lo:src_hi] ** 2)
+        denominator += shifted
+    return analysis_window / denominator
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('size', 'shift', 'window', 'fading', 'pad'),
+)
+def stft(
+        time_signal,
+        size: int = 512,
+        shift: int = 128,
+        *,
+        window='blackman',
+        fading: bool = True,
+        pad: bool = True,
+):
+    """Short-time Fourier transform.
+
+    Args:
+        time_signal: (..., num_samples) real.
+        size: frame size == FFT size.
+        shift: frame shift (hop).
+        window: window name or callable size->array.
+        fading: pad ``size - shift`` zeros on both ends.
+        pad: zero-pad the end so the last partial frame is kept.
+
+    Returns:
+        (..., T, F) complex with F = size // 2 + 1.
+    """
+    time_signal = jnp.asarray(time_signal)
+    w = jnp.asarray(
+        _get_window(window, size),
+        jnp.result_type(time_signal.dtype, jnp.float32),
+    )
+
+    if fading:
+        pad_width = [(0, 0)] * (time_signal.ndim - 1) \
+            + [(size - shift, size - shift)]
+        time_signal = jnp.pad(time_signal, pad_width)
+
+    samples = time_signal.shape[-1]
+    if samples < size:
+        frames = 1
+    elif pad:
+        frames = int(np.ceil((samples - size + shift) / shift))
+    else:
+        frames = (samples - size + shift) // shift
+    needed = size + (frames - 1) * shift
+    if needed > samples:
+        pad_width = [(0, 0)] * (time_signal.ndim - 1) \
+            + [(0, needed - samples)]
+        time_signal = jnp.pad(time_signal, pad_width)
+
+    starts = np.arange(frames) * shift
+    idx = starts[:, None] + np.arange(size)[None, :]  # (T, size)
+    framed = time_signal[..., idx]  # (..., T, size)
+    return jnp.fft.rfft(framed * w, n=size, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('size', 'shift', 'window', 'fading', 'num_samples'),
+)
+def istft(
+        stft_signal,
+        size: int = 512,
+        shift: int = 128,
+        *,
+        window='blackman',
+        fading: bool = True,
+        num_samples: int = None,
+):
+    """Inverse STFT with bias-compensated overlap-add.
+
+    Args:
+        stft_signal: (..., T, F) complex.
+    Returns:
+        (..., num_samples) real. When ``num_samples`` is given the
+        output is cut/padded to exactly that length (after fading
+        removal), mirroring ``istft(...)[..., :num_samples]`` usage in
+        the reference tests.
+    """
+    stft_signal = jnp.asarray(stft_signal)
+    analysis = _get_window(window, size)
+    synthesis = jnp.asarray(
+        _biorthogonal_window(analysis, shift), jnp.float32
+        if stft_signal.dtype == jnp.complex64 else jnp.float64)
+
+    frames = stft_signal.shape[-2]
+    framed = jnp.fft.irfft(stft_signal, n=size, axis=-1) * synthesis
+
+    length = size + (frames - 1) * shift
+    # overlap-add via segment scatter: (..., T, size) -> (..., length)
+    out_shape = stft_signal.shape[:-2] + (length,)
+    starts = np.arange(frames) * shift
+    idx = (starts[:, None] + np.arange(size)[None, :]).reshape(-1)
+    time_signal = jnp.zeros(out_shape, framed.dtype).at[
+        ..., idx
+    ].add(framed.reshape(framed.shape[:-2] + (-1,)))
+
+    if fading:
+        time_signal = time_signal[
+            ..., size - shift: length - (size - shift)]
+    if num_samples is not None:
+        cur = time_signal.shape[-1]
+        if num_samples <= cur:
+            time_signal = time_signal[..., :num_samples]
+        else:
+            pad_width = [(0, 0)] * (time_signal.ndim - 1) \
+                + [(0, num_samples - cur)]
+            time_signal = jnp.pad(time_signal, pad_width)
+    return time_signal
+
+
+class STFT:
+    """Object-style frontend bundling parameters, convenient for
+    pipelines: ``STFT(512, 128)(signal)`` / ``.inverse(Signal)``."""
+
+    def __init__(self, size=512, shift=128, *, window='blackman',
+                 fading=True):
+        self.size = size
+        self.shift = shift
+        self.window = window
+        self.fading = fading
+
+    def __call__(self, time_signal):
+        return stft(time_signal, self.size, self.shift,
+                    window=self.window, fading=self.fading)
+
+    def inverse(self, stft_signal, num_samples=None):
+        return istft(stft_signal, self.size, self.shift,
+                     window=self.window, fading=self.fading,
+                     num_samples=num_samples)
+
+    @property
+    def frequencies(self):
+        return self.size // 2 + 1
