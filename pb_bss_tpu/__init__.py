@@ -15,6 +15,12 @@ import sys as _sys
 
 from . import utils  # noqa: F401
 from . import ops  # noqa: F401
+from . import permutation_alignment  # noqa: F401
+from .permutation_alignment import (  # noqa: F401
+    DHTVPermutationAlignment,
+    GreedyPermutationAlignment,
+    OraclePermutationAlignment,
+)
 from . import extraction  # noqa: F401
 from . import evaluation  # noqa: F401
 from . import transform  # noqa: F401
