@@ -32,6 +32,8 @@ def uniform(shape=(1,), dtype=np.complex128, rng=None):
 
 
 def randn(*shape, dtype=np.complex128, rng=None):
+    if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+        shape = tuple(shape[0])
     rng = _rng(rng)
 
     def normal(data_type):
@@ -48,6 +50,8 @@ def randn(*shape, dtype=np.complex128, rng=None):
 
 def hermitian(*shape, dtype=np.complex128, rng=None):
     """Random Hermitian matrices with shape (..., D, D)."""
+    if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+        shape = tuple(shape[0])
     assert shape[-1] == shape[-2], shape
     matrix = randn(*shape, dtype=dtype, rng=rng)
     return (matrix + matrix.swapaxes(-1, -2).conj()) / 2
@@ -55,6 +59,8 @@ def hermitian(*shape, dtype=np.complex128, rng=None):
 
 def pos_def_hermitian(*shape, dtype=np.complex128, rng=None):
     """Random positive-definite Hermitian matrices (..., D, D)."""
+    if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+        shape = tuple(shape[0])
     matrix = hermitian(*shape, dtype=dtype, rng=rng)
     matrix = matrix @ matrix.swapaxes(-1, -2).conj()
     matrix += shape[-1] * 2 * np.eye(shape[-1], dtype=dtype)
