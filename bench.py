@@ -1,0 +1,175 @@
+"""Benchmark: cACGMM EM throughput (+ GEV beamforming) vs NumPy-CPU.
+
+Config matches the driver BASELINE.json anchor: 6-channel 2-speaker(+1
+noise class) mixture, 512-pt STFT (F=513 bins), 20-iteration EM, GEV
+beamforming — the reference pipeline of
+/root/reference/tests/test_distribution/test_spatial_mm.py.
+
+The baseline is a faithful single-thread NumPy implementation of the
+same EM math (quadratic-form einsum, weighted scatter, per-(F,K)
+``np.linalg.eigh``) measured in-process on this machine's CPU, i.e. the
+reference's compute pattern without the library overhead.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+F, T, D, K = 513, 300, 6, 3
+EM_ITERS = 20
+
+
+def _make_data(seed=0):
+    rng = np.random.default_rng(seed)
+    # Two directional sources + diffuse noise, mixed per frequency.
+    atf = rng.standard_normal((F, D, 2)) + 1j * rng.standard_normal((F, D, 2))
+    s = rng.standard_normal((F, 2, T)) + 1j * rng.standard_normal((F, 2, T))
+    noise = 0.3 * (
+        rng.standard_normal((F, D, T)) + 1j * rng.standard_normal((F, D, T)))
+    y = np.einsum('fdk,fkt->fdt', atf, s) + noise  # (F, D, T)
+    return np.swapaxes(y, -2, -1)  # (F, T, D)
+
+
+# --------------------------------------------------------------------------
+# NumPy-CPU baseline: reference compute pattern (single thread, per-bin eigh)
+# --------------------------------------------------------------------------
+
+def _numpy_em(y, iterations, seed=0):
+    rng = np.random.RandomState(seed)
+    yt = y / np.maximum(
+        np.linalg.norm(y, axis=-1, keepdims=True), 1e-30)
+    yt = np.swapaxes(yt, -2, -1)  # (F, D, T)
+    f, d, t = yt.shape
+    affiliation = rng.uniform(size=(f, K, t))
+    affiliation /= affiliation.sum(axis=-2, keepdims=True)
+    quadratic_form = np.ones_like(affiliation)
+    eigvals = None
+    eigvecs = None
+    for it in range(iterations):
+        # M-step
+        weight = np.mean(affiliation, axis=-1, keepdims=True)
+        weights = affiliation / np.maximum(quadratic_form, 1e-30)
+        scatter = d * np.einsum(
+            'fkt,fdt,fet->fkde', weights, yt, yt.conj())
+        scatter /= np.maximum(
+            affiliation.sum(-1), 1e-30)[..., None, None]
+        scatter = (scatter + np.swapaxes(scatter.conj(), -1, -2)) / 2
+        eigvals, eigvecs = np.linalg.eigh(scatter)
+        eigvals = eigvals / np.maximum(
+            eigvals.max(-1, keepdims=True), 1e-30)
+        eigvals = np.maximum(eigvals, 1e-10)
+        # E-step
+        z = np.einsum('fkde,fdt->fket', eigvecs.conj(), yt)
+        quadratic_form = np.maximum(np.einsum(
+            'fket,fke->fkt', z.real ** 2 + z.imag ** 2, 1.0 / eigvals),
+            1e-30)
+        log_pdf = -d * np.log(quadratic_form) \
+            - np.log(eigvals).sum(-1)[..., None]
+        affiliation = np.exp(
+            log_pdf - log_pdf.max(axis=-2, keepdims=True)) * weight
+        affiliation /= np.maximum(
+            affiliation.sum(axis=-2, keepdims=True), 1e-30)
+    return affiliation
+
+
+def _numpy_gev(phi_xx, phi_nn):
+    import scipy.linalg
+    out = np.empty(phi_xx.shape[:-1], complex)
+    for f in range(phi_xx.shape[0]):
+        w, v = scipy.linalg.eigh(phi_xx[f], phi_nn[f])
+        out[f] = v[:, -1]
+    return out
+
+
+def bench_numpy(y):
+    start = time.perf_counter()
+    affiliation = _numpy_em(y, 3)
+    em_time = (time.perf_counter() - start) / 3  # sec / EM iter
+
+    yt = np.swapaxes(y, -2, -1)
+    psd = np.einsum('fkt,fdt,fet->fkde',
+                    affiliation / affiliation.sum(-1, keepdims=True),
+                    yt, yt.conj())
+    start = time.perf_counter()
+    _numpy_gev(psd[:, 0], psd[:, -1] + 1e-6 * np.eye(D))
+    gev_time = time.perf_counter() - start
+    return em_time, gev_time
+
+
+# --------------------------------------------------------------------------
+# TPU path
+# --------------------------------------------------------------------------
+
+def bench_jax(y):
+    import jax
+    import jax.numpy as jnp
+    from pb_bss_tpu.models.cacgmm import CACGMMTrainer
+    from pb_bss_tpu.extraction.beamformer import (
+        get_power_spectral_density_matrix, get_gev_vector,
+    )
+
+    y = jnp.asarray(y, jnp.complex64)
+    trainer = CACGMMTrainer()
+
+    def run_em():
+        model = trainer.fit(y, num_classes=K, iterations=EM_ITERS)
+        return jax.block_until_ready(
+            jax.tree_util.tree_leaves(model))
+
+    run_em()  # compile
+    start = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        run_em()
+    em_time = (time.perf_counter() - start) / (reps * EM_ITERS)
+
+    model = trainer.fit(y, num_classes=K, iterations=EM_ITERS)
+    affiliation = model.predict(y)
+
+    @jax.jit
+    def gev(affiliation, y):
+        yt = jnp.swapaxes(y, -2, -1)
+        psd = get_power_spectral_density_matrix(
+            yt, jnp.asarray(affiliation), source_dim=-2)
+        return get_gev_vector(psd[:, 0], psd[:, -1])
+
+    jax.block_until_ready(gev(affiliation, y))  # compile
+    start = time.perf_counter()
+    for _ in range(5):
+        jax.block_until_ready(gev(affiliation, y))
+    gev_time = (time.perf_counter() - start) / 5
+    return em_time, gev_time
+
+
+def main():
+    y = _make_data()
+    em_np, gev_np = bench_numpy(y)
+    em_jax, gev_jax = bench_jax(y)
+
+    iters_per_sec = 1.0 / em_jax
+    baseline_iters_per_sec = 1.0 / em_np
+    # end-to-end style weighting: 20 EM iters + one GEV solve
+    pipeline = EM_ITERS * em_jax + gev_jax
+    pipeline_np = EM_ITERS * em_np + gev_np
+
+    print(json.dumps({
+        'metric': 'cACGMM EM iters/sec (F=513, D=6, K=3, T=300)',
+        'value': round(iters_per_sec, 3),
+        'unit': 'iters/sec',
+        'vs_baseline': round(iters_per_sec / baseline_iters_per_sec, 2),
+    }))
+    # Secondary detail on stderr-like comment line for humans:
+    import sys
+    print(
+        f'# em: jax {em_jax * 1e3:.2f} ms/iter vs numpy '
+        f'{em_np * 1e3:.2f} ms/iter; gev(513x6): jax '
+        f'{gev_jax * 1e3:.2f} ms vs numpy {gev_np * 1e3:.2f} ms; '
+        f'pipeline speedup {pipeline_np / pipeline:.1f}x',
+        file=sys.stderr,
+    )
+
+
+if __name__ == '__main__':
+    main()

@@ -14,6 +14,8 @@ scatter, batched Hermitian eigh) are MXU/VPU-shaped.
 import sys as _sys
 
 from . import utils  # noqa: F401
+from . import parallel  # noqa: F401
+from . import math  # noqa: F401
 from . import ops  # noqa: F401
 from . import permutation_alignment  # noqa: F401
 from .permutation_alignment import (  # noqa: F401
