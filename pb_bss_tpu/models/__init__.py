@@ -26,6 +26,34 @@ from .cacgmm import (  # noqa: F401
     CACGMMTrainer,
     sample_cacgmm,
 )
+from .gaussian import (  # noqa: F401
+    Gaussian,
+    DiagonalGaussian,
+    SphericalGaussian,
+    GaussianTrainer,
+)
+from .gmm import (  # noqa: F401
+    GMM,
+    GMMTrainer,
+    BinaryGMM,
+    BinaryGMMTrainer,
+)
+from .von_mises_fisher import (  # noqa: F401
+    VonMisesFisher,
+    VonMisesFisherTrainer,
+)
+from .vmfmm import (  # noqa: F401
+    VMFMM,
+    VMFMMTrainer,
+)
+from .complex_watson import (  # noqa: F401
+    ComplexWatson,
+    ComplexWatsonTrainer,
+)
+from .cwmm import (  # noqa: F401
+    CWMM,
+    CWMMTrainer,
+)
 from . import mixture_model_utils  # noqa: F401
 from .mixture_model_utils import (  # noqa: F401
     estimate_mixture_weight,

@@ -1,0 +1,194 @@
+"""Complex Watson mixture model.
+
+Capability parity with ``pb_bss/distribution/cwmm.py`` (predict :21-52,
+EM trainer with inline permutation alignment :55-240); the EM loop is
+the shared jitted ``lax.scan`` engine.
+"""
+from __future__ import annotations
+
+import functools
+from operator import xor
+
+import jax
+import jax.numpy as jnp
+
+from ._em import run_em
+from .base import Model, modelclass
+from .complex_watson import (
+    ComplexWatson,
+    ComplexWatsonTrainer,
+    normalize_observation,
+)
+from .mixture_model_utils import (
+    estimate_mixture_weight,
+    log_pdf_to_affiliation,
+)
+
+__all__ = ['CWMM', 'CWMMTrainer']
+
+
+@modelclass
+class CWMM(Model):
+    weight: jnp.ndarray = None  # (..., K, 1)
+    complex_watson: ComplexWatson = None
+
+    def predict(self, y):
+        """y: (..., N, D) complex -> affiliations (..., K, N)."""
+        y = jnp.asarray(y)
+        assert jnp.iscomplexobj(y), y.dtype
+        y = normalize_observation(y)
+        return self._predict(y)
+
+    def _predict(self, y):
+        return log_pdf_to_affiliation(
+            self.weight,
+            self.complex_watson.log_pdf(y[..., None, :, :]),
+            source_activity_mask=None,
+            affiliation_eps=0.,
+        )
+
+
+class CWMMTrainer:
+    def __init__(self, dimension=None, max_concentration=500,
+                 spline_markers=1000):
+        """
+        Args:
+            dimension: feature dimension (inferred at fit if None).
+            max_concentration: 500 is stable for dimension <= 60
+                (reference cwmm.py:61-70).
+            spline_markers: concentration lookup-table resolution.
+        """
+        self.dimension = dimension
+        self.max_concentration = max_concentration
+        self.spline_markers = spline_markers
+        self._watson_trainer = None
+
+    @property
+    def complex_watson_trainer(self):
+        if self._watson_trainer is None:
+            self._watson_trainer = ComplexWatsonTrainer(
+                self.dimension,
+                max_concentration=self.max_concentration,
+                spline_markers=self.spline_markers,
+            )
+        return self._watson_trainer
+
+    def fit(
+            self,
+            y,
+            initialization=None,
+            num_classes=None,
+            iterations=100,
+            *,
+            key=None,
+            saliency=None,
+            weight_constant_axis=(-1,),
+            affiliation_eps=0,
+            inline_permutation_aligner=None,
+    ) -> CWMM:
+        """EM for CWMMs with any number of independent dimensions
+        (reference cwmm.py:76-150)."""
+        assert xor(initialization is None, num_classes is None), (
+            'Incompatible input combination. '
+            'Exactly one of the two inputs has to be None: '
+            f'{initialization is None} xor {num_classes is None}'
+        )
+        y = jnp.asarray(y)
+        assert jnp.iscomplexobj(y), y.dtype
+        assert y.shape[-1] > 1
+        y = normalize_observation(y)
+
+        if initialization is None and num_classes is not None:
+            *independent, num_observations, _ = y.shape
+            if key is None:
+                key = jax.random.key(0)
+            affiliation_shape = (
+                *independent, num_classes, num_observations)
+            initialization = jax.random.uniform(
+                key, affiliation_shape, y.real.dtype)
+            initialization = initialization / jnp.einsum(
+                '...kn->...n', initialization)[..., None, :]
+        initialization = jnp.asarray(initialization)
+
+        if saliency is None:
+            saliency = jnp.ones_like(initialization[..., 0, :])
+
+        if self.dimension is None:
+            self.dimension = y.shape[-1]
+        else:
+            assert self.dimension == y.shape[-1], (
+                'You initialized the trainer with a different dimension '
+                'than you are using to fit a model. Use a new trainer, '
+                'when you change the dimension.'
+            )
+        if isinstance(weight_constant_axis, list):
+            weight_constant_axis = tuple(weight_constant_axis)
+        assert affiliation_eps == 0, affiliation_eps
+
+        # Materialize the concentration lookup table (host) before
+        # tracing so it is a constant inside the compiled loop.
+        _ = self.complex_watson_trainer.grid
+
+        return _cwmm_fit_em(
+            y, initialization, saliency,
+            watson_trainer=self.complex_watson_trainer,
+            iterations=int(iterations),
+            weight_constant_axis=weight_constant_axis,
+            aligner=inline_permutation_aligner,
+        )
+
+    def fit_predict(
+            self,
+            y,
+            initialization=None,
+            num_classes=None,
+            iterations=100,
+            *,
+            key=None,
+            saliency=None,
+            weight_constant_axis=(-1,),
+            affiliation_eps=0,
+            inline_permutation_aligner=None,
+    ):
+        """Fit a model, then return the posterior affiliations."""
+        model = self.fit(
+            y=y,
+            initialization=initialization,
+            num_classes=num_classes,
+            iterations=iterations,
+            key=key,
+            saliency=saliency,
+            weight_constant_axis=weight_constant_axis,
+            affiliation_eps=affiliation_eps,
+            inline_permutation_aligner=inline_permutation_aligner,
+        )
+        return model.predict(y)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        'watson_trainer', 'iterations', 'weight_constant_axis', 'aligner'),
+)
+def _cwmm_fit_em(y, affiliation, saliency, *, watson_trainer, iterations,
+                 weight_constant_axis, aligner):
+    def m_step(affiliation):
+        weight = estimate_mixture_weight(
+            affiliation=affiliation,
+            saliency=saliency,
+            weight_constant_axis=weight_constant_axis,
+        )
+        complex_watson = watson_trainer._fit(
+            y=y[..., None, :, :],
+            saliency=affiliation * saliency[..., None, :],
+        )
+        return CWMM(weight=weight, complex_watson=complex_watson)
+
+    return run_em(
+        affiliation=affiliation,
+        iterations=iterations,
+        m_step=m_step,
+        e_step=lambda model: model._predict(y),
+        aligner=aligner,
+        weight_constant_axis=weight_constant_axis,
+    )
