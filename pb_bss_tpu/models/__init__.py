@@ -54,6 +54,22 @@ from .cwmm import (  # noqa: F401
     CWMM,
     CWMMTrainer,
 )
+from .complex_bingham import (  # noqa: F401
+    ComplexBingham,
+    ComplexBinghamTrainer,
+)
+from .cbmm import (  # noqa: F401
+    CBMM,
+    CBMMTrainer,
+)
+from .gcacgmm import (  # noqa: F401
+    GCACGMM,
+    GCACGMMTrainer,
+)
+from .vmfcacgmm import (  # noqa: F401
+    VMFCACGMM,
+    VMFCACGMMTrainer,
+)
 from . import mixture_model_utils  # noqa: F401
 from .mixture_model_utils import (  # noqa: F401
     estimate_mixture_weight,

@@ -92,29 +92,47 @@ def _resolve_model_type(field_type, owner_cls=None):
     return None
 
 
+def static_field(default=None):
+    """Dataclass field treated as pytree *aux data* (static metadata,
+    e.g. axis tuples or fixed exponents) instead of a traced leaf."""
+    return dataclasses.field(default=default, metadata={'static': True})
+
+
 def modelclass(cls):
     """Decorator: dataclass + pytree registration + :class:`Model` mixin.
 
     Fields become pytree children, so models can be scan carries, vmap
-    outputs and sharded pjit arguments.
+    outputs and sharded pjit arguments. Fields declared with
+    :func:`static_field` go into the pytree aux data (hashable, static
+    under jit).
     """
     cls = dataclasses.dataclass(frozen=True, repr=True)(cls)
     if Model not in cls.__mro__:
         raise TypeError(f'{cls} must inherit from Model')
 
-    field_names = tuple(f.name for f in dataclasses.fields(cls))
+    field_names = tuple(
+        f.name for f in dataclasses.fields(cls)
+        if not f.metadata.get('static', False))
+    static_names = tuple(
+        f.name for f in dataclasses.fields(cls)
+        if f.metadata.get('static', False))
 
     def flatten(obj):
-        return tuple(getattr(obj, n) for n in field_names), None
+        return (
+            tuple(getattr(obj, n) for n in field_names),
+            tuple(getattr(obj, n) for n in static_names),
+        )
 
     def flatten_with_keys(obj):
         return tuple(
             (jax.tree_util.GetAttrKey(n), getattr(obj, n))
             for n in field_names
-        ), None
+        ), tuple(getattr(obj, n) for n in static_names)
 
     def unflatten(aux, children):
-        return cls(**dict(zip(field_names, children)))
+        kwargs = dict(zip(field_names, children))
+        kwargs.update(dict(zip(static_names, aux)))
+        return cls(**kwargs)
 
     jax.tree_util.register_pytree_with_keys(
         cls, flatten_with_keys, unflatten, flatten_func=flatten)

@@ -1,0 +1,188 @@
+"""Complex Bingham mixture model.
+
+Capability parity with ``pb_bss/distribution/cbmm.py`` (predict with
+``affiliation_eps`` :21-55, EM trainer :58-237); the per-(F,K) moment
+inversion of the M-step runs as the batched Newton of
+:func:`pb_bss_tpu.models.complex_bingham.find_eigenvalues` inside the
+shared jitted EM loop.
+"""
+from __future__ import annotations
+
+import functools
+from operator import xor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ._em import run_em
+from .base import Model, modelclass
+from .complex_bingham import (
+    ComplexBingham,
+    ComplexBinghamTrainer,
+    normalize_observation,
+)
+from .mixture_model_utils import (
+    estimate_mixture_weight,
+    log_pdf_to_affiliation,
+)
+
+__all__ = ['CBMM', 'CBMMTrainer']
+
+
+@modelclass
+class CBMM(Model):
+    weight: jnp.ndarray = None  # (..., K, 1)
+    complex_bingham: ComplexBingham = None
+
+    def predict(self, y, affiliation_eps=0):
+        """y: (..., N, D) complex -> affiliations (..., K, N)."""
+        y = jnp.asarray(y)
+        assert jnp.iscomplexobj(y), y.dtype
+        y = normalize_observation(y)
+        return self._predict(y, affiliation_eps=affiliation_eps)
+
+    def _predict(self, y, affiliation_eps):
+        return log_pdf_to_affiliation(
+            self.weight,
+            self.complex_bingham.log_pdf(y[..., None, :, :]),
+            source_activity_mask=None,
+            affiliation_eps=affiliation_eps,
+        )
+
+
+class CBMMTrainer:
+    def __init__(self, dimension=None, max_concentration=np.inf,
+                 eigenvalue_eps=1e-8):
+        """Bingham fitting is float64-sensitive; run under x64
+        (reference cbmm.py:58-77)."""
+        self.dimension = dimension
+        self.max_concentration = max_concentration
+        self.eigenvalue_eps = eigenvalue_eps
+
+    def fit(
+            self,
+            y,
+            initialization=None,
+            num_classes=None,
+            iterations=100,
+            *,
+            key=None,
+            saliency=None,
+            weight_constant_axis=(-1,),
+            affiliation_eps=0,
+            inline_permutation_aligner=None,
+    ) -> CBMM:
+        """EM for CBMMs with any number of independent dimensions
+        (reference cbmm.py:79-146)."""
+        assert xor(initialization is None, num_classes is None), (
+            'Incompatible input combination. '
+            'Exactly one of the two inputs has to be None: '
+            f'{initialization is None} xor {num_classes is None}'
+        )
+        y = jnp.asarray(y)
+        assert jnp.iscomplexobj(y), y.dtype
+        assert y.shape[-1] > 1
+        y = normalize_observation(y)
+
+        if initialization is None and num_classes is not None:
+            *independent, num_observations, _ = y.shape
+            if key is None:
+                key = jax.random.key(0)
+            affiliation_shape = (
+                *independent, num_classes, num_observations)
+            initialization = jax.random.uniform(
+                key, affiliation_shape, y.real.dtype)
+            initialization = initialization / jnp.einsum(
+                '...kn->...n', initialization)[..., None, :]
+        initialization = jnp.asarray(initialization)
+
+        if saliency is None:
+            saliency = jnp.ones_like(initialization[..., 0, :])
+
+        if self.dimension is None:
+            self.dimension = y.shape[-1]
+        else:
+            assert self.dimension == y.shape[-1], (
+                'You initialized the trainer with a different dimension '
+                'than you are using to fit a model. Use a new trainer, '
+                'when you change the dimension.'
+            )
+        if isinstance(weight_constant_axis, list):
+            weight_constant_axis = tuple(weight_constant_axis)
+
+        return _cbmm_fit_em(
+            y, initialization, saliency,
+            iterations=int(iterations),
+            weight_constant_axis=weight_constant_axis,
+            affiliation_eps=float(affiliation_eps),
+            max_concentration=float(self.max_concentration)
+            if np.isfinite(self.max_concentration) else np.inf,
+            eigenvalue_eps=float(self.eigenvalue_eps),
+            aligner=inline_permutation_aligner,
+        )
+
+    def fit_predict(
+            self,
+            y,
+            initialization=None,
+            num_classes=None,
+            iterations=100,
+            *,
+            key=None,
+            saliency=None,
+            weight_constant_axis=(-1,),
+            affiliation_eps=0,
+            inline_permutation_aligner=None,
+    ):
+        """Fit a model, then return the posterior affiliations."""
+        model = self.fit(
+            y=y,
+            initialization=initialization,
+            num_classes=num_classes,
+            iterations=iterations,
+            key=key,
+            saliency=saliency,
+            weight_constant_axis=weight_constant_axis,
+            affiliation_eps=affiliation_eps,
+            inline_permutation_aligner=inline_permutation_aligner,
+        )
+        return model.predict(y)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        'iterations', 'weight_constant_axis', 'affiliation_eps',
+        'max_concentration', 'eigenvalue_eps', 'aligner'),
+)
+def _cbmm_fit_em(y, affiliation, saliency, *, iterations,
+                 weight_constant_axis, affiliation_eps,
+                 max_concentration, eigenvalue_eps, aligner):
+    trainer = ComplexBinghamTrainer(
+        dimension=y.shape[-1],
+        max_concentration=max_concentration,
+        eignevalue_eps=eigenvalue_eps,
+    )
+
+    def m_step(affiliation):
+        weight = estimate_mixture_weight(
+            affiliation=affiliation,
+            saliency=saliency,
+            weight_constant_axis=weight_constant_axis,
+        )
+        complex_bingham = trainer._fit(
+            y=y[..., None, :, :],
+            saliency=affiliation * saliency[..., None, :],
+        )
+        return CBMM(weight=weight, complex_bingham=complex_bingham)
+
+    return run_em(
+        affiliation=affiliation,
+        iterations=iterations,
+        m_step=m_step,
+        e_step=lambda model: model._predict(
+            y, affiliation_eps=affiliation_eps),
+        aligner=aligner,
+        weight_constant_axis=weight_constant_axis,
+    )

@@ -1,0 +1,293 @@
+"""Complex Bingham distribution.
+
+Capability parity with ``pb_bss/distribution/complex_bingham.py``:
+eigen-parameterized density (:28-79), closed-form norm
+``2 pi^D sum_d a_d exp(lambda_d)`` with duplicate-eigenvalue
+regularization (:80-203), and the trainer that inverts the moment
+equations ``grad log c(lambda) = scatter_eigenvalues`` per (frequency,
+class) (:225-425, :567-594).
+
+TPU-first realization:
+
+* the reference codegens the gradient of the log-norm for D in [2, 6]
+  from MATLAB/sympy (complex_bingham_utils.py) and solves per bin with
+  ``scipy.optimize.least_squares`` inside an ``np.ndindex`` loop. Here
+  the gradient is obtained by **autodiff of the closed-form log-norm**
+  (any D, no codegen) and the moment inversion is a **batched damped
+  Newton** in the same diff parameterization as the reference's
+  ``find_eigenvalues_v3`` (diffs bounded in [-max_concentration,
+  -1e-8], which keeps eigenvalues distinct by construction) — one
+  vmapped jit program over all (F, K) bins instead of a Python loop.
+* fitting is float64-sensitive (the norm suffers cancellation for
+  close eigenvalues, same as the reference); run under x64 for
+  production-grade accuracy.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .base import Model, modelclass
+from ..ops.linalg import eigh_jacobi, force_hermitian
+from ..utils import is_broadcast_compatible
+
+__all__ = [
+    'ComplexBingham',
+    'ComplexBinghamTrainer',
+    'normalize_observation',
+]
+
+
+def normalize_observation(observation):
+    """Unit-norm over the channel axis; (..., N, D) -> (..., N, D)."""
+    observation = jnp.asarray(observation)
+    return observation / jnp.maximum(
+        jnp.linalg.norm(observation, axis=-1, keepdims=True),
+        jnp.finfo(observation.real.dtype).tiny,
+    )
+
+
+def _remove_duplicate_eigenvalues(covariance_eigenvalues, eps=1e-8):
+    """Sort ascending and force a minimum spacing of ``eps`` between
+    adjacent eigenvalues (reference :166-203).
+
+    Returns (inverse_permutation, regularized_eigenvalues).
+    """
+    covariance_eigenvalues = jnp.asarray(covariance_eigenvalues)
+    permutation = jnp.argsort(covariance_eigenvalues, axis=-1)
+    sorted_vals = jnp.take_along_axis(
+        covariance_eigenvalues, permutation, axis=-1)
+    diff = jnp.maximum(jnp.diff(sorted_vals, axis=-1), eps)
+    regularized = jnp.concatenate([
+        sorted_vals[..., :1],
+        sorted_vals[..., :1] + jnp.cumsum(diff, axis=-1),
+    ], axis=-1)
+    inverse_permutation = jnp.argsort(permutation, axis=-1)
+    return inverse_permutation, regularized
+
+
+def _log_norm_distinct(eigenvalues):
+    """log of ``2 pi^D sum_d exp(lambda_d) / prod_{d'!=d}(lambda_d -
+    lambda_{d'})`` for eigenvalues with pairwise-distinct entries
+    (reference :159-163)."""
+    D = eigenvalues.shape[-1]
+    deltas = eigenvalues[..., None] - eigenvalues[..., None, :]
+    eye = jnp.eye(D, dtype=eigenvalues.dtype)
+    deltas = deltas * (1 - eye) + eye
+    a = 1.0 / jnp.prod(deltas, axis=-1)
+    return jnp.log(2.0) + D * jnp.log(jnp.pi) + jnp.log(
+        jnp.sum(a * jnp.exp(eigenvalues), axis=-1))
+
+
+@modelclass
+class ComplexBingham(Model):
+    covariance_eigenvectors: jnp.ndarray = None  # (..., D, D)
+    covariance_eigenvalues: jnp.ndarray = None  # (..., D)
+
+    @property
+    def covariance(self):
+        eigenvalues = jnp.asarray(self.covariance_eigenvalues)
+        eigenvectors = jnp.asarray(self.covariance_eigenvectors)
+        return jnp.einsum(
+            '...wx,...x,...zx->...wz',
+            eigenvectors,
+            eigenvalues.astype(eigenvectors.dtype),
+            eigenvectors.conj(),
+        )
+
+    def pdf(self, y):
+        return jnp.exp(self.log_pdf(y))
+
+    def log_pdf(self, y):
+        """y: (..., N, D) complex unit vectors."""
+        y = jnp.asarray(y)
+        result = jnp.einsum(
+            '...td,...dD,...tD->...t', y.conj(), self.covariance, y)
+        result = result.real
+        result = result - self.log_norm()[..., None]
+        return result
+
+    def log_norm(self, remove_duplicate_eigenvalues=True, eps=1e-8):
+        eigenvalues = jnp.asarray(self.covariance_eigenvalues)
+        if remove_duplicate_eigenvalues:
+            _, eigenvalues = _remove_duplicate_eigenvalues(
+                eigenvalues, eps=eps)
+        return _log_norm_distinct(eigenvalues)
+
+    def norm(self, remove_duplicate_eigenvalues=True, eps=1e-8):
+        return jnp.exp(self.log_norm(
+            remove_duplicate_eigenvalues=remove_duplicate_eigenvalues,
+            eps=eps))
+
+
+def _grad_log_norm(eigenvalues):
+    """Gradient of the log norm w.r.t. the (distinct) eigenvalues —
+    autodiff replacement of the codegen'd rational functions
+    (reference complex_bingham_utils.py:5-346)."""
+    return jax.grad(_log_norm_distinct)(eigenvalues)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('max_concentration', 'eps', 'iterations'))
+def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
+                     eps=1e-8, iterations=50):
+    """Invert the moment equations: find Bingham eigenvalues ``lambda``
+    (max pinned to 0) with ``grad log c(lambda) = scatter_eigenvalues``.
+
+    Batched replacement of the reference's per-bin
+    ``scipy.optimize.least_squares`` ``find_eigenvalues_v3``
+    (complex_bingham.py:303-425): damped Newton in the diff
+    parameterization ``u_i = lambda_i - lambda_{i+1} in
+    [-max_concentration, -1e-8]`` with the Jacobian from ``jacfwd``.
+
+    Args:
+        scatter_eigenvalues: (..., D) nonnegative moments (rows sum to
+            one when the scatter has unit trace).
+    Returns:
+        (..., D) Bingham eigenvalues in the input's element order.
+    """
+    s = jnp.asarray(scatter_eigenvalues)
+    dtype = jnp.result_type(s.dtype, jnp.float32)
+    s = s.astype(dtype)
+    D = s.shape[-1]
+
+    inverse_permutation, s_sorted = _remove_duplicate_eigenvalues(
+        s, eps=eps)
+
+    upper = -1e-8
+    lower = -max_concentration if np.isfinite(max_concentration) else None
+
+    def solve_one(s_vec):
+        # init: lambda ~ -1/s (exact in the high-concentration limit),
+        # largest pinned to 0 (reference :371-383)
+        x0 = -1.0 / jnp.maximum(s_vec, 1e-12)
+        x0 = x0.at[-1].set(0.0)
+        if lower is not None:
+            x0 = jnp.maximum(
+                x0,
+                -(max_concentration
+                  - jnp.arange(D, dtype=dtype)),
+            )
+        u0 = -jnp.diff(x0)  # (D-1,), all <= 0
+
+        def lam_of(u):
+            # lambda_j = sum_{i >= j} of [u, 0]; ascending, max = 0
+            full = jnp.concatenate([u, jnp.zeros((1,), dtype)])
+            return jnp.cumsum(full[::-1])[::-1]
+
+        def residual(u):
+            return _grad_log_norm(lam_of(u)) - s_vec
+
+        def clip(u):
+            u = jnp.minimum(u, upper)
+            if lower is not None:
+                u = jnp.maximum(u, lower)
+            return u
+
+        jac = jax.jacfwd(residual)
+
+        def newton_step(u, _):
+            r = residual(u)  # (D,), but only D-1 free variables
+            J = jac(u)  # (D, D-1)
+            # Gauss-Newton step for the overdetermined square-ish
+            # system (residual sums to zero, so rank is D-1).
+            JtJ = J.T @ J + 1e-12 * jnp.eye(D - 1, dtype=dtype)
+            delta = jnp.linalg.solve(JtJ, J.T @ r)
+            # trust region: limit the step magnitude
+            delta = jnp.clip(delta, -1e3, 1e3)
+            u_full = clip(u - delta)
+            u_half = clip(u - 0.5 * delta)
+            better = jnp.sum(residual(u_full) ** 2) \
+                <= jnp.sum(residual(u_half) ** 2)
+            return jnp.where(better, u_full, u_half), None
+
+        u0 = clip(u0)
+        u, _ = lax.scan(newton_step, u0, None, length=iterations)
+        est = lam_of(u)
+        if lower is not None:
+            est = jnp.maximum(est, -max_concentration)
+            _, est = _remove_duplicate_eigenvalues(est, eps=eps)
+        return est
+
+    flat = s_sorted.reshape((-1, D))
+    solved = jax.vmap(solve_one)(flat).reshape(s_sorted.shape)
+    return jnp.take_along_axis(solved, inverse_permutation, axis=-1)
+
+
+class ComplexBinghamTrainer:
+    def __init__(self, dimension=None, max_concentration=np.inf,
+                 eignevalue_eps=1e-8):
+        """
+        Args:
+            dimension: feature dimension (inferred at fit if None).
+            max_concentration: bound on the eigenvalue spread.
+            eignevalue_eps: duplicate-eigenvalue regularizer (the
+                misspelling mirrors the reference API,
+                complex_bingham.py:208).
+        """
+        self.dimension = dimension
+        assert max_concentration > 0, max_concentration
+        self.max_concentration = max_concentration
+        self.eignevalue_eps = eignevalue_eps
+
+    # Reference-compatible aliases (v2/v3 differ only in the solver
+    # parameterization; the batched Newton uses the v3 diff form).
+    @classmethod
+    def find_eigenvalues_v3(cls, scatter_eigenvalues, eps=1e-8,
+                            max_concentration=np.inf):
+        return find_eigenvalues(
+            jnp.asarray(scatter_eigenvalues),
+            max_concentration=float(max_concentration)
+            if np.isfinite(max_concentration) else np.inf,
+            eps=eps,
+        )
+
+    find_eigenvalues_v2 = find_eigenvalues_v3
+
+    def fit(self, y, saliency=None) -> ComplexBingham:
+        y = jnp.asarray(y)
+        assert jnp.iscomplexobj(y), y.dtype
+        assert y.shape[-1] > 1
+        y = normalize_observation(y)
+        if saliency is not None:
+            assert is_broadcast_compatible(
+                y.shape[:-1], jnp.asarray(saliency).shape), (
+                y.shape, jnp.asarray(saliency).shape)
+        if self.dimension is None:
+            self.dimension = y.shape[-1]
+        else:
+            assert self.dimension == y.shape[-1], (
+                'You initialized the trainer with a different dimension '
+                'than you are using to fit a model. Use a new trainer, '
+                'when you change the dimension.'
+            )
+        return self._fit(y, saliency=saliency)
+
+    def _fit(self, y, saliency) -> ComplexBingham:
+        if saliency is None:
+            covariance = jnp.einsum('...nd,...nD->...dD', y, y.conj())
+            denominator = jnp.asarray(y.shape[-2], y.real.dtype)
+        else:
+            covariance = jnp.einsum(
+                '...n,...nd,...nD->...dD', saliency, y, y.conj())
+            denominator = jnp.einsum(
+                '...n->...', saliency)[..., None, None]
+        covariance = covariance / jnp.maximum(
+            denominator, jnp.finfo(y.real.dtype).tiny)
+        covariance = force_hermitian(covariance)
+        scatter_eigenvalues, eigenvecs = eigh_jacobi(covariance)
+        scatter_eigenvalues = jnp.maximum(scatter_eigenvalues, 0.0)
+        eigenvalues = find_eigenvalues(
+            scatter_eigenvalues,
+            max_concentration=float(self.max_concentration)
+            if np.isfinite(self.max_concentration) else np.inf,
+            eps=self.eignevalue_eps,
+        )
+        return ComplexBingham(
+            covariance_eigenvectors=eigenvecs,
+            covariance_eigenvalues=eigenvalues,
+        )

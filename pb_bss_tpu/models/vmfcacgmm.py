@@ -1,0 +1,260 @@
+"""vMF x complex-Angular-Central-Gaussian integration model.
+
+Same structure as :mod:`pb_bss_tpu.models.gcacgmm` with a von
+Mises-Fisher spectral model on the unit-normalized embedding.
+Capability parity with ``pb_bss/distribution/vmfcacgmm.py`` (:34-97
+predict, :244-301 M-step).
+"""
+from __future__ import annotations
+
+import functools
+from operator import xor
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .base import Model, modelclass, static_field
+from .complex_angular_central_gaussian import (
+    ComplexAngularCentralGaussian,
+    ComplexAngularCentralGaussianTrainer,
+)
+from .gcacgmm import _integration_weight
+from .mixture_model_utils import (
+    log_pdf_to_affiliation,
+    log_pdf_to_affiliation_for_integration_models_with_inline_pa,
+)
+from .von_mises_fisher import VonMisesFisher, VonMisesFisherTrainer
+from ..utils import unsqueeze
+
+__all__ = ['VMFCACGMM', 'VMFCACGMMTrainer']
+
+
+@modelclass
+class VMFCACGMM(Model):
+    weight: jnp.ndarray = None
+    vmf: VonMisesFisher = None
+    cacg: ComplexAngularCentralGaussian = None
+    weight_constant_axis: tuple = static_field((-1,))
+    spatial_weight: float = static_field(1.)
+    spectral_weight: float = static_field(1.)
+
+    def predict(self, observation, embedding):
+        """observation: (F, T, D) complex; embedding: (F, T, E) real."""
+        observation = jnp.asarray(observation)
+        embedding = jnp.asarray(embedding)
+        assert jnp.iscomplexobj(observation), observation.dtype
+        assert not jnp.iscomplexobj(embedding), embedding.dtype
+        observation = observation / jnp.maximum(
+            jnp.linalg.norm(observation, axis=-1, keepdims=True),
+            jnp.finfo(observation.real.dtype).tiny,
+        )
+        embedding = embedding / jnp.maximum(
+            jnp.linalg.norm(embedding, axis=-1, keepdims=True),
+            jnp.finfo(embedding.dtype).tiny,
+        )
+        affiliation, _ = self._predict(observation, embedding)
+        return affiliation
+
+    def _predict(self, observation, embedding, affiliation_eps=0.,
+                 inline_permutation_alignment=False):
+        F, T, D = observation.shape
+        _, _, E = embedding.shape
+
+        observation_ = observation[..., None, :, :]
+        cacg_log_pdf, quadratic_form = self.cacg._log_pdf(
+            jnp.swapaxes(observation_, -1, -2))
+
+        embedding_ = jnp.reshape(embedding, (1, F * T, E))
+        vmf_log_pdf = self.vmf.log_pdf(embedding_)
+        num_classes = vmf_log_pdf.shape[0]
+        vmf_log_pdf = jnp.transpose(
+            jnp.reshape(vmf_log_pdf, (num_classes, F, T)), (1, 0, 2))
+
+        weight = unsqueeze(self.weight, self.weight_constant_axis)
+        if inline_permutation_alignment:
+            affiliation = \
+                log_pdf_to_affiliation_for_integration_models_with_inline_pa(
+                    weight=weight,
+                    spatial_log_pdf=self.spatial_weight * cacg_log_pdf,
+                    spectral_log_pdf=self.spectral_weight * vmf_log_pdf,
+                    affiliation_eps=affiliation_eps,
+                )
+        else:
+            affiliation = log_pdf_to_affiliation(
+                weight=weight,
+                log_pdf=(self.spatial_weight * cacg_log_pdf
+                         + self.spectral_weight * vmf_log_pdf),
+                affiliation_eps=affiliation_eps,
+            )
+        return affiliation, quadratic_form
+
+
+class VMFCACGMMTrainer:
+    def fit(
+            self,
+            observation,
+            embedding,
+            initialization=None,
+            num_classes=None,
+            iterations=100,
+            saliency=None,
+            *,
+            key=None,
+            min_concentration=1e-10,
+            max_concentration=500,
+            hermitize=True,
+            covariance_norm='eigenvalue',
+            eigenvalue_floor=1e-10,
+            affiliation_eps=1e-10,
+            weight_constant_axis=(-1,),
+            spatial_weight=1.,
+            spectral_weight=1.,
+            inline_permutation_alignment=False,
+    ) -> VMFCACGMM:
+        """EM on (F, T, D) observations + (F, T, E) embeddings
+        (reference vmfcacgmm.py:101-203)."""
+        assert xor(initialization is None, num_classes is None), (
+            'Incompatible input combination. '
+            'Exactly one of the two inputs has to be None: '
+            f'{initialization is None} xor {num_classes is None}'
+        )
+        observation = jnp.asarray(observation)
+        embedding = jnp.asarray(embedding)
+        assert jnp.iscomplexobj(observation), observation.dtype
+        assert not jnp.iscomplexobj(embedding), embedding.dtype
+        assert observation.shape[-1] > 1
+        observation = observation / jnp.maximum(
+            jnp.linalg.norm(observation, axis=-1, keepdims=True),
+            jnp.finfo(observation.real.dtype).tiny,
+        )
+
+        F, T, D = observation.shape
+
+        if initialization is None and num_classes is not None:
+            if key is None:
+                key = jax.random.key(0)
+            affiliation_shape = (F, num_classes, T)
+            initialization = jax.random.uniform(
+                key, affiliation_shape, observation.real.dtype)
+            initialization = initialization / jnp.einsum(
+                '...kt->...t', initialization)[..., None, :]
+        initialization = jnp.asarray(initialization)
+
+        if saliency is None:
+            saliency = jnp.ones_like(initialization[..., 0, :])
+
+        if isinstance(weight_constant_axis, list):
+            weight_constant_axis = tuple(weight_constant_axis)
+
+        return _vmfcacgmm_fit_em(
+            observation, embedding, initialization, saliency,
+            iterations=int(iterations),
+            min_concentration=float(min_concentration),
+            max_concentration=float(max_concentration),
+            hermitize=bool(hermitize),
+            covariance_norm=covariance_norm,
+            eigenvalue_floor=float(eigenvalue_floor),
+            affiliation_eps=float(affiliation_eps),
+            weight_constant_axis=weight_constant_axis,
+            spatial_weight=float(spatial_weight),
+            spectral_weight=float(spectral_weight),
+            inline_permutation_alignment=bool(
+                inline_permutation_alignment),
+        )
+
+    def fit_predict(self, observation, embedding, initialization=None,
+                    num_classes=None, iterations=100, saliency=None,
+                    *, key=None, min_concentration=1e-10,
+                    max_concentration=500, hermitize=True,
+                    covariance_norm='eigenvalue', eigenvalue_floor=1e-10,
+                    affiliation_eps=1e-10, weight_constant_axis=(-1,),
+                    spatial_weight=1., spectral_weight=1.,
+                    inline_permutation_alignment=False):
+        """Fit a model, then return the posterior affiliations."""
+        model = self.fit(
+            observation=observation,
+            embedding=embedding,
+            initialization=initialization,
+            num_classes=num_classes,
+            iterations=iterations,
+            saliency=saliency,
+            key=key,
+            min_concentration=min_concentration,
+            max_concentration=max_concentration,
+            hermitize=hermitize,
+            covariance_norm=covariance_norm,
+            eigenvalue_floor=eigenvalue_floor,
+            affiliation_eps=affiliation_eps,
+            weight_constant_axis=weight_constant_axis,
+            spatial_weight=spatial_weight,
+            spectral_weight=spectral_weight,
+            inline_permutation_alignment=inline_permutation_alignment,
+        )
+        return model.predict(observation=observation, embedding=embedding)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        'iterations', 'min_concentration', 'max_concentration',
+        'hermitize', 'covariance_norm', 'eigenvalue_floor',
+        'affiliation_eps', 'weight_constant_axis', 'spatial_weight',
+        'spectral_weight', 'inline_permutation_alignment'),
+)
+def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
+                      iterations, min_concentration, max_concentration,
+                      hermitize, covariance_norm, eigenvalue_floor,
+                      affiliation_eps, weight_constant_axis,
+                      spatial_weight, spectral_weight,
+                      inline_permutation_alignment):
+    F, T, D = observation.shape
+    _, _, E = embedding.shape
+    K = affiliation.shape[-2]
+
+    def m_step(affiliation, quadratic_form):
+        masked_affiliation = affiliation * saliency[..., None, :]
+        weight = _integration_weight(
+            masked_affiliation, weight_constant_axis)
+
+        embedding_ = jnp.reshape(embedding, (1, F * T, E))
+        masked_affiliation_ = jnp.reshape(
+            jnp.transpose(masked_affiliation, (1, 0, 2)), (K, F * T))
+        vmf = VonMisesFisherTrainer()._fit(
+            y=embedding_ / jnp.maximum(
+                jnp.linalg.norm(embedding_, axis=-1, keepdims=True),
+                jnp.finfo(embedding.dtype).tiny),
+            saliency=masked_affiliation_,
+            min_concentration=min_concentration,
+            max_concentration=max_concentration,
+        )
+        cacg = ComplexAngularCentralGaussianTrainer()._fit(
+            y=jnp.swapaxes(observation[..., None, :, :], -1, -2),
+            saliency=masked_affiliation,
+            quadratic_form=quadratic_form,
+            hermitize=hermitize,
+            covariance_norm=covariance_norm,
+            eigenvalue_floor=eigenvalue_floor,
+        )
+        return VMFCACGMM(
+            weight=weight,
+            vmf=vmf,
+            cacg=cacg,
+            weight_constant_axis=weight_constant_axis,
+            spatial_weight=spatial_weight,
+            spectral_weight=spectral_weight,
+        )
+
+    quadratic_form = jnp.ones_like(affiliation)
+    model = m_step(affiliation, quadratic_form)
+    if iterations > 1:
+        def step(model, _):
+            affiliation, quadratic_form = model._predict(
+                observation=observation,
+                embedding=embedding,
+                inline_permutation_alignment=inline_permutation_alignment,
+                affiliation_eps=affiliation_eps,
+            )
+            return m_step(affiliation, quadratic_form), None
+        model, _ = lax.scan(step, model, None, length=iterations - 1)
+    return model
