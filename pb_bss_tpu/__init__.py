@@ -17,6 +17,7 @@ from . import utils  # noqa: F401
 from . import parallel  # noqa: F401
 from . import math  # noqa: F401
 from . import ops  # noqa: F401
+from . import initializer  # noqa: F401
 from . import permutation_alignment  # noqa: F401
 from .permutation_alignment import (  # noqa: F401
     DHTVPermutationAlignment,
