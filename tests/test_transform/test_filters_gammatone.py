@@ -112,8 +112,12 @@ class TestGriffinLim:
         X = np.asarray(stft(np.stack([a, b]), 512, 128, fading=False))
         x_hat = np.asarray(misi(X, y, iterations=10))
         assert x_hat.shape[0] == 2
-        # the sum of estimates should approximately reproduce the mix
-        n = min(x_hat.shape[-1], len(y))
-        rel = np.linalg.norm(x_hat.sum(0)[:n] - y[:n]) \
-            / np.linalg.norm(y[:n])
-        assert rel < 0.15, rel
+        # With oracle magnitudes MISI converges to the true sources in
+        # the interior (edges lack OLA coverage with fading=False).
+        sl = slice(512, 3500)
+        rel = np.linalg.norm(x_hat.sum(0)[sl] - y[sl]) \
+            / np.linalg.norm(y[sl])
+        assert rel < 0.02, rel
+        rel0 = np.linalg.norm(x_hat[0][sl] - a[sl]) \
+            / np.linalg.norm(a[sl])
+        assert rel0 < 0.02, rel0
