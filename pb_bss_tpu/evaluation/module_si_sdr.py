@@ -1,0 +1,53 @@
+"""Scale-Invariant Signal-to-Distortion Ratio (SI-SDR).
+
+Capability parity with ``pb_bss/evaluation/module_si_sdr.py``
+([LeRoux2019] "SDR - Half-Baked or Well Done?"); jit-compatible and
+broadcast over leading dims.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ['si_sdr']
+
+
+def si_sdr(reference, estimation):
+    """SI-SDR in dB.
+
+    Args:
+        reference: (..., T) float64.
+        estimation: (..., T) float64, broadcastable.
+
+    >>> import numpy as np
+    >>> rng = np.random.RandomState(0)
+    >>> reference = rng.randn(100)
+    >>> float(si_sdr(reference, reference)) == float('inf')
+    True
+    >>> float(si_sdr(reference, reference * 2)) == float('inf')
+    True
+    >>> round(float(si_sdr(reference, reference + 0.5)), 6)
+    6.370461
+    >>> round(float(si_sdr(reference, reference * 2 + 1)), 6)
+    6.370461
+    """
+    estimation, reference = jnp.broadcast_arrays(
+        jnp.asarray(estimation), jnp.asarray(reference))
+    assert reference.dtype == jnp.float64, (
+        'The reference requires float64 inputs for a meaningful SI-SDR '
+        f'(got {reference.dtype}).'
+    )
+    assert estimation.dtype == jnp.float64, estimation.dtype
+
+    reference_energy = jnp.sum(
+        reference ** 2, axis=-1, keepdims=True)
+    # alpha after Equation (3) in [LeRoux2019]
+    optimal_scaling = jnp.sum(
+        reference * estimation, axis=-1, keepdims=True) / reference_energy
+    # e_target / e_res of Equation (4)
+    projection = optimal_scaling * reference
+    noise = estimation - projection
+
+    ratio = jnp.sum(projection ** 2, axis=-1) \
+        / jnp.sum(noise ** 2, axis=-1)
+    return 10 * jnp.log10(ratio)
