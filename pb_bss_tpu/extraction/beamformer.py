@@ -48,8 +48,7 @@ __all__ = [
 ]
 
 
-def _tiny(x):
-    return jnp.finfo(jnp.asarray(x).real.dtype).tiny
+from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
 
 
 def get_power_spectral_density_matrix(
@@ -92,7 +91,7 @@ def get_power_spectral_density_matrix(
 
     mask = jnp.asarray(mask)
     if mask.dtype == jnp.bool_:
-        mask = mask.astype(observation.real.dtype)
+        mask = mask.astype(_real_dtype(observation))
 
     if normalize:
         mask = mask / jnp.maximum(

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import abs_square
+from .._dtypes import real_dtype as _real_dtype
 
 EPS = 1e-18
 
@@ -87,7 +88,7 @@ def ideal_binary_mask(
     """
     signal = jnp.asarray(signal)
     components = signal.shape[source_axis]
-    dtype = signal.real.dtype
+    dtype = _real_dtype(signal)
     mask = abs_square(signal)
 
     if sensor_axis is not None:

@@ -9,6 +9,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from .._dtypes import real_dtype as _real_dtype
+
 __all__ = ['flag']
 
 
@@ -31,7 +33,7 @@ def flag(Y, num_classes: int, permutation_free: bool = False,
 
     labels = np.linspace(0, num_classes, N, dtype=int, endpoint=False)
     init = jnp.broadcast_to(
-        jnp.eye(num_classes, dtype=Y.real.dtype)[labels].T,
+        jnp.eye(num_classes, dtype=_real_dtype(Y))[labels].T,
         (*ind, num_classes, N))
     if minimum != 0:
         assert 0 < minimum < (1 / num_classes), (minimum, num_classes)

@@ -10,6 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .._dtypes import real_dtype as _real_dtype
+
 __all__ = [
     'uniform_normalized',
     'dirichlet_uniform',
@@ -42,13 +44,13 @@ def uniform_normalized(Y, num_classes: int, permutation_free: bool = False,
 
     if permutation_free:
         affiliation = jax.random.uniform(
-            key, affiliation_shape[-2:], Y.real.dtype)
+            key, affiliation_shape[-2:], _real_dtype(Y))
         affiliation = affiliation / jnp.einsum(
             '...kn->...n', affiliation)[..., None, :]
         affiliation = jnp.broadcast_to(affiliation, affiliation_shape)
     else:
         affiliation = jax.random.uniform(
-            key, affiliation_shape, Y.real.dtype)
+            key, affiliation_shape, _real_dtype(Y))
         affiliation = affiliation / jnp.einsum(
             '...kn->...n', affiliation)[..., None, :]
     return affiliation
@@ -67,7 +69,7 @@ def dirichlet(Y, num_classes: int, permutation_free: bool = False,
     num_observations = Y.shape[-2]
     key = _default_key(key)
     assert jnp.isscalar(alpha) or isinstance(alpha, (int, float)), alpha
-    alpha_vec = jnp.full((num_classes,), float(alpha), Y.real.dtype)
+    alpha_vec = jnp.full((num_classes,), float(alpha), _real_dtype(Y))
 
     if permutation_free:
         affiliation_shape = (*independent, num_classes, num_observations)
@@ -93,12 +95,12 @@ def one_hot(Y, num_classes: int, permutation_free: bool = False,
     if permutation_free:
         labels = jax.random.randint(
             key, (num_observations,), 0, num_classes)
-        affiliation = jnp.eye(num_classes, dtype=Y.real.dtype)[labels].T
+        affiliation = jnp.eye(num_classes, dtype=_real_dtype(Y))[labels].T
         affiliation = jnp.broadcast_to(
             affiliation, (*independent, num_classes, num_observations))
     else:
         labels = jax.random.randint(
             key, (*independent, num_observations), 0, num_classes)
         affiliation = jnp.swapaxes(
-            jnp.eye(num_classes, dtype=Y.real.dtype)[labels], -1, -2)
+            jnp.eye(num_classes, dtype=_real_dtype(Y))[labels], -1, -2)
     return affiliation

@@ -39,8 +39,7 @@ from .mixture_model_utils import (
 __all__ = ['CACGMM', 'CACGMMTrainer', 'sample_cacgmm']
 
 
-def _tiny(x):
-    return jnp.finfo(jnp.asarray(x).real.dtype).tiny
+from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
 
 
 def sample_cacgmm(size, weight, covariance, return_label=False, key=None):
@@ -91,9 +90,8 @@ class CACGMM(Model):
         """y: (..., N, D) complex observations."""
         y = jnp.asarray(y)
         assert jnp.iscomplexobj(y), y.dtype
-        y = normalize_observation(y)
-        affiliation, quadratic_form, _ = self._predict(
-            y, source_activity_mask=source_activity_mask)
+        affiliation, quadratic_form = _cacgmm_predict_jit(
+            self, y, source_activity_mask)
         if return_quadratic_form:
             return affiliation, quadratic_form
         return affiliation
@@ -116,9 +114,22 @@ class CACGMM(Model):
         """Sum log-likelihood over all leading dims and samples."""
         y = jnp.asarray(y)
         assert jnp.iscomplexobj(y), y.dtype
-        y = normalize_observation(y)
-        _, _, log_pdf = self._predict(y)
-        return jnp.sum(jax.scipy.special.logsumexp(log_pdf, axis=-2))
+        return _cacgmm_log_likelihood_jit(self, y)
+
+
+@jax.jit
+def _cacgmm_predict_jit(model, y, source_activity_mask=None):
+    y = normalize_observation(y)
+    affiliation, quadratic_form, _ = model._predict(
+        y, source_activity_mask=source_activity_mask)
+    return affiliation, quadratic_form
+
+
+@jax.jit
+def _cacgmm_log_likelihood_jit(model, y):
+    y = normalize_observation(y)
+    _, _, log_pdf = model._predict(y)
+    return jnp.sum(jax.scipy.special.logsumexp(log_pdf, axis=-2))
 
 
 def _m_step(y, quadratic_form, affiliation, saliency, *,
@@ -258,10 +269,10 @@ class CACGMMTrainer:
                 key = jax.random.key(0)
             affiliation_shape = (*independent, num_classes, num_observations)
             affiliation = jax.random.uniform(
-                key, affiliation_shape, y.real.dtype)
+                key, affiliation_shape, _real_dtype(y))
             affiliation = affiliation / jnp.sum(
                 affiliation, axis=-2, keepdims=True)
-            quadratic_form = jnp.ones(affiliation_shape, y.real.dtype)
+            quadratic_form = jnp.ones(affiliation_shape, _real_dtype(y))
         elif isinstance(initialization, CACGMM):
             num_classes = \
                 initialization.cacg.covariance_eigenvectors.shape[-3]
@@ -276,8 +287,8 @@ class CACGMMTrainer:
             assert initialization.shape[-2:] == affiliation_shape[-2:], (
                 initialization.shape, affiliation_shape)
             affiliation = jnp.broadcast_to(
-                initialization.astype(y.real.dtype), affiliation_shape)
-            quadratic_form = jnp.ones(affiliation_shape, y.real.dtype)
+                initialization.astype(_real_dtype(y)), affiliation_shape)
+            quadratic_form = jnp.ones(affiliation_shape, _real_dtype(y))
         else:
             raise TypeError('No sufficient initialization.')
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ._em import run_em
+from .._dtypes import real_dtype as _real_dtype
 from .base import Model, modelclass
 from .complex_bingham import (
     ComplexBingham,
@@ -30,6 +31,12 @@ from .mixture_model_utils import (
 __all__ = ['CBMM', 'CBMMTrainer']
 
 
+@functools.partial(jax.jit, static_argnames=('affiliation_eps',))
+def _cbmm_predict_jit(model, y, *, affiliation_eps):
+    return model._predict(
+        normalize_observation(y), affiliation_eps=affiliation_eps)
+
+
 @modelclass
 class CBMM(Model):
     weight: jnp.ndarray = None  # (..., K, 1)
@@ -39,8 +46,8 @@ class CBMM(Model):
         """y: (..., N, D) complex -> affiliations (..., K, N)."""
         y = jnp.asarray(y)
         assert jnp.iscomplexobj(y), y.dtype
-        y = normalize_observation(y)
-        return self._predict(y, affiliation_eps=affiliation_eps)
+        return _cbmm_predict_jit(
+            self, y, affiliation_eps=float(affiliation_eps))
 
     def _predict(self, y, affiliation_eps):
         return log_pdf_to_affiliation(
@@ -92,7 +99,7 @@ class CBMMTrainer:
             affiliation_shape = (
                 *independent, num_classes, num_observations)
             initialization = jax.random.uniform(
-                key, affiliation_shape, y.real.dtype)
+                key, affiliation_shape, _real_dtype(y))
             initialization = initialization / jnp.einsum(
                 '...kn->...n', initialization)[..., None, :]
         initialization = jnp.asarray(initialization)

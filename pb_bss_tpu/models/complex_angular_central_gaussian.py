@@ -37,12 +37,13 @@ __all__ = [
 ]
 
 
-def _tiny(x):
-    return jnp.finfo(jnp.asarray(x).real.dtype).tiny
+from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
 
 
+@jax.jit
 def normalize_observation(observation):
-    """Unit-norm over channels, then swap to time-last layout.
+    """Unit-norm over channels, then swap to time-last layout
+    (one compiled program; avoids eager per-op dispatch).
 
     Args:
         observation: (..., N, D) complex.
@@ -188,9 +189,9 @@ class ComplexAngularCentralGaussianTrainer:
         assert iterations > 0, iterations
 
         if saliency is None:
-            quadratic_form = jnp.ones((*independent, N), y.real.dtype)
+            quadratic_form = jnp.ones((*independent, N), _real_dtype(y))
         else:
-            quadratic_form = jnp.ones((*independent, N), y.real.dtype)
+            quadratic_form = jnp.ones((*independent, N), _real_dtype(y))
 
         model = None
         for _ in range(iterations):
@@ -232,17 +233,17 @@ class ComplexAngularCentralGaussianTrainer:
             quadratic_form, 10 * _tiny(quadratic_form))
         if saliency is None:
             weights = 1.0 / quadratic_form
-            denominator = jnp.asarray(N, y.real.dtype)
+            denominator = jnp.asarray(N, _real_dtype(y))
         else:
             weights = saliency / quadratic_form
             denominator = jnp.sum(saliency, axis=-1)[..., None, None]
 
         # scatter: D * sum_t w_t y_t y_t^H / denominator — a batched
         # matmul over the (contiguous, time-last) reduction axis.
-        yw = y * weights[..., None, :].astype(y.real.dtype)
+        yw = y * weights[..., None, :].astype(_real_dtype(y))
         covariance = D * jnp.einsum('...dn,...en->...de', yw, y.conj())
         covariance = covariance / jnp.maximum(
-            denominator, _tiny(covariance)).astype(covariance.real.dtype)
+            denominator, _tiny(covariance)).astype(_real_dtype(covariance))
         assert covariance.shape == (*independent, D, D), (
             covariance.shape, (*independent, D, D))
 

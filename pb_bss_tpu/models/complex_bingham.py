@@ -32,6 +32,7 @@ import numpy as np
 from jax import lax
 
 from .base import Model, modelclass
+from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
 from ..ops.linalg import eigh_jacobi, force_hermitian
 from ..utils import is_broadcast_compatible
 
@@ -42,12 +43,13 @@ __all__ = [
 ]
 
 
+@jax.jit
 def normalize_observation(observation):
     """Unit-norm over the channel axis; (..., N, D) -> (..., N, D)."""
     observation = jnp.asarray(observation)
     return observation / jnp.maximum(
         jnp.linalg.norm(observation, axis=-1, keepdims=True),
-        jnp.finfo(observation.real.dtype).tiny,
+        _tiny(observation),
     )
 
 
@@ -270,14 +272,14 @@ class ComplexBinghamTrainer:
     def _fit(self, y, saliency) -> ComplexBingham:
         if saliency is None:
             covariance = jnp.einsum('...nd,...nD->...dD', y, y.conj())
-            denominator = jnp.asarray(y.shape[-2], y.real.dtype)
+            denominator = jnp.asarray(y.shape[-2], _real_dtype(y))
         else:
             covariance = jnp.einsum(
                 '...n,...nd,...nD->...dD', saliency, y, y.conj())
             denominator = jnp.einsum(
                 '...n->...', saliency)[..., None, None]
         covariance = covariance / jnp.maximum(
-            denominator, jnp.finfo(y.real.dtype).tiny)
+            denominator, _tiny(y))
         covariance = force_hermitian(covariance)
         scatter_eigenvalues, eigenvecs = eigh_jacobi(covariance)
         scatter_eigenvalues = jnp.maximum(scatter_eigenvalues, 0.0)

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import Model, modelclass, force_hermitian
+from .._dtypes import real_dtype as _real_dtype
 
 __all__ = [
     'ComplexCircularSymmetricGaussian',
@@ -31,7 +32,7 @@ class ComplexCircularSymmetricGaussian(Model):
             self.covariance, jnp.swapaxes(y, -2, -1))  # (..., D, N)
         quad = jnp.einsum('...nd,...dn->...n', y.conj(), inv_y).real
         return (
-            - D * jnp.log(jnp.asarray(jnp.pi, y.real.dtype))
+            - D * jnp.log(jnp.asarray(jnp.pi, _real_dtype(y)))
             - logdet[..., None]
             - quad
         )
@@ -45,7 +46,7 @@ class ComplexCircularSymmetricGaussian(Model):
         D = self.covariance.shape[-1]
         assert self.covariance.ndim == 2, (
             'Not implemented for batched covariance', self.covariance.shape)
-        real_dtype = jnp.zeros((), self.covariance.dtype).real.dtype
+        real_dtype = _real_dtype(self.covariance)
         kr, ki = jax.random.split(key)
         x = (
             jax.random.normal(kr, (*size, D), real_dtype)
@@ -64,7 +65,7 @@ class ComplexCircularSymmetricGaussianTrainer:
 
     def _fit(self, y, saliency):
         if saliency is None:
-            denominator = jnp.asarray(y.shape[-2], y.real.dtype)
+            denominator = jnp.asarray(y.shape[-2], _real_dtype(y))
             covariance = jnp.einsum('...nd,...ne->...de', y, y.conj())
         else:
             denominator = jnp.sum(saliency, axis=-1)[..., None, None]

@@ -27,18 +27,20 @@ import numpy as np
 from jax.scipy.special import gammaln
 
 from .base import Model, modelclass
+from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
 from ..ops.linalg import eigh_jacobi
 from ..utils import is_broadcast_compatible
 
 __all__ = ['ComplexWatson', 'ComplexWatsonTrainer', 'normalize_observation']
 
 
+@jax.jit
 def normalize_observation(observation):
     """Unit-norm over the channel axis; (..., N, D) -> (..., N, D)."""
     observation = jnp.asarray(observation)
     return observation / jnp.maximum(
         jnp.linalg.norm(observation, axis=-1, keepdims=True),
-        jnp.finfo(observation.real.dtype).tiny,
+        _tiny(observation),
     )
 
 
@@ -204,14 +206,14 @@ class ComplexWatsonTrainer:
     def _fit(self, y, saliency) -> ComplexWatson:
         if saliency is None:
             covariance = jnp.einsum('...nd,...nD->...dD', y, y.conj())
-            denominator = jnp.asarray(y.shape[-2], y.real.dtype)
+            denominator = jnp.asarray(y.shape[-2], _real_dtype(y))
         else:
             covariance = jnp.einsum(
                 '...n,...nd,...nD->...dD', saliency, y, y.conj())
             denominator = jnp.einsum(
                 '...n->...', saliency)[..., None, None]
         covariance = covariance / jnp.maximum(
-            denominator, jnp.finfo(y.real.dtype).tiny)
+            denominator, _tiny(y))
         eigenvalues, eigenvecs = eigh_jacobi(covariance)
         mode = eigenvecs[..., -1]
         concentration = self.hypergeometric_ratio_inverse(

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ._em import run_em
+from .._dtypes import real_dtype as _real_dtype
 from .base import Model, modelclass
 from .complex_watson import (
     ComplexWatson,
@@ -27,6 +28,11 @@ from .mixture_model_utils import (
 __all__ = ['CWMM', 'CWMMTrainer']
 
 
+@jax.jit
+def _cwmm_predict_jit(model, y):
+    return model._predict(normalize_observation(y))
+
+
 @modelclass
 class CWMM(Model):
     weight: jnp.ndarray = None  # (..., K, 1)
@@ -36,8 +42,7 @@ class CWMM(Model):
         """y: (..., N, D) complex -> affiliations (..., K, N)."""
         y = jnp.asarray(y)
         assert jnp.iscomplexobj(y), y.dtype
-        y = normalize_observation(y)
-        return self._predict(y)
+        return _cwmm_predict_jit(self, y)
 
     def _predict(self, y):
         return log_pdf_to_affiliation(
@@ -105,7 +110,7 @@ class CWMMTrainer:
             affiliation_shape = (
                 *independent, num_classes, num_observations)
             initialization = jax.random.uniform(
-                key, affiliation_shape, y.real.dtype)
+                key, affiliation_shape, _real_dtype(y))
             initialization = initialization / jnp.einsum(
                 '...kn->...n', initialization)[..., None, :]
         initialization = jnp.asarray(initialization)

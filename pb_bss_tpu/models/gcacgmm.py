@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .base import Model, modelclass, static_field
+from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
 from .complex_angular_central_gaussian import (
     ComplexAngularCentralGaussian,
     ComplexAngularCentralGaussianTrainer,
@@ -38,6 +39,11 @@ from .mixture_model_utils import (
 from ..utils import unsqueeze
 
 __all__ = ['GCACGMM', 'GCACGMMTrainer']
+
+
+@jax.jit
+def _integration_predict_jit(model, observation, embedding):
+    return model._predict(observation, embedding)
 
 
 @modelclass
@@ -58,9 +64,10 @@ class GCACGMM(Model):
         assert not jnp.iscomplexobj(embedding), embedding.dtype
         observation = observation / jnp.maximum(
             jnp.linalg.norm(observation, axis=-1, keepdims=True),
-            jnp.finfo(observation.real.dtype).tiny,
+            _tiny(observation),
         )
-        affiliation, _ = self._predict(observation, embedding)
+        affiliation, _ = _integration_predict_jit(
+            self, observation, embedding)
         return affiliation
 
     def _predict(self, observation, embedding, affiliation_eps=0.,
@@ -139,7 +146,7 @@ class GCACGMMTrainer:
         assert observation.shape[-1] > 1
         observation = observation / jnp.maximum(
             jnp.linalg.norm(observation, axis=-1, keepdims=True),
-            jnp.finfo(observation.real.dtype).tiny,
+            _tiny(observation),
         )
 
         F, T, D = observation.shape
@@ -149,7 +156,7 @@ class GCACGMMTrainer:
                 key = jax.random.key(0)
             affiliation_shape = (F, num_classes, T)
             initialization = jax.random.uniform(
-                key, affiliation_shape, observation.real.dtype)
+                key, affiliation_shape, _real_dtype(observation))
             initialization = initialization / jnp.einsum(
                 '...kt->...t', initialization)[..., None, :]
         initialization = jnp.asarray(initialization)

@@ -24,8 +24,7 @@ __all__ = [
 from .base import _unit_norm
 
 
-def _tiny(x):
-    return jnp.finfo(jnp.asarray(x).real.dtype).tiny
+from .._dtypes import tiny as _tiny
 
 
 def log_pdf_to_affiliation(

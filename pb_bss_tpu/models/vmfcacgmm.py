@@ -15,11 +15,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from .base import Model, modelclass, static_field
+from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
 from .complex_angular_central_gaussian import (
     ComplexAngularCentralGaussian,
     ComplexAngularCentralGaussianTrainer,
 )
-from .gcacgmm import _integration_weight
+from .gcacgmm import _integration_weight, _integration_predict_jit
 from .mixture_model_utils import (
     log_pdf_to_affiliation,
     log_pdf_to_affiliation_for_integration_models_with_inline_pa,
@@ -47,13 +48,14 @@ class VMFCACGMM(Model):
         assert not jnp.iscomplexobj(embedding), embedding.dtype
         observation = observation / jnp.maximum(
             jnp.linalg.norm(observation, axis=-1, keepdims=True),
-            jnp.finfo(observation.real.dtype).tiny,
+            _tiny(observation),
         )
         embedding = embedding / jnp.maximum(
             jnp.linalg.norm(embedding, axis=-1, keepdims=True),
             jnp.finfo(embedding.dtype).tiny,
         )
-        affiliation, _ = self._predict(observation, embedding)
+        affiliation, _ = _integration_predict_jit(
+            self, observation, embedding)
         return affiliation
 
     def _predict(self, observation, embedding, affiliation_eps=0.,
@@ -126,7 +128,7 @@ class VMFCACGMMTrainer:
         assert observation.shape[-1] > 1
         observation = observation / jnp.maximum(
             jnp.linalg.norm(observation, axis=-1, keepdims=True),
-            jnp.finfo(observation.real.dtype).tiny,
+            _tiny(observation),
         )
 
         F, T, D = observation.shape
@@ -136,7 +138,7 @@ class VMFCACGMMTrainer:
                 key = jax.random.key(0)
             affiliation_shape = (F, num_classes, T)
             initialization = jax.random.uniform(
-                key, affiliation_shape, observation.real.dtype)
+                key, affiliation_shape, _real_dtype(observation))
             initialization = initialization / jnp.einsum(
                 '...kt->...t', initialization)[..., None, :]
         initialization = jnp.asarray(initialization)

@@ -46,12 +46,7 @@ __all__ = [
 ]
 
 
-def _real_dtype(dtype):
-    return jnp.zeros((), dtype).real.dtype
-
-
-def _tiny(dtype):
-    return jnp.finfo(_real_dtype(dtype)).tiny
+from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
 
 
 def force_hermitian(matrix):
@@ -83,7 +78,7 @@ def unit_norm(signal, *, axis=-1, eps=1e-4, eps_style='plus', ord=None):
         norm = jnp.sqrt(
             jnp.sum(jnp.real(signal * signal.conj()), axis=axis,
                     keepdims=True)
-        ).astype(signal.real.dtype)
+        ).astype(_real_dtype(signal))
     elif ord == 1:
         norm = jnp.sum(jnp.abs(signal), axis=axis, keepdims=True)
     else:

@@ -17,7 +17,112 @@ __all__ = [
     'labels_to_one_hot',
     'get_stft_center_frequencies',
     'reshape',
+    'get_pca',
+    'to_numpy',
 ]
+
+from ..ops.linalg import get_pca  # noqa: E402,F401  (reference: pb_bss/utils.py:111)
+
+
+def to_numpy(x):
+    """Robust device-to-host transfer.
+
+    Some TPU backends cannot transfer complex arrays directly; complex
+    arrays are moved as their real and imaginary parts. For buffers
+    that such a backend refuses to move at all (outputs of programs
+    with complex *parameters* — see :func:`run_on_device` for the safe
+    calling convention), prefer computing through ``run_on_device``.
+    """
+    import jax
+
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        parts = jax.jit(lambda a: (a.real, a.imag))(x)
+        return to_numpy(parts[0]) + 1j * to_numpy(parts[1])
+    try:
+        return np.asarray(x)
+    except Exception:
+        # retry once through a compiled copy (fresh default layout)
+        return np.asarray(jax.jit(lambda a: a + 0)(x))
+
+
+_DEVICE_RUN_CACHE = {}
+
+
+def run_on_device(fn, *args):
+    """Run ``fn(*args)`` on the accelerator with a transfer-safe
+    calling convention, returning host NumPy arrays.
+
+    Some TPU backends (e.g. the tunneled single-chip 'axon' platform)
+    cannot transfer buffers to the host when the producing program had
+    **complex-typed parameters** — complex math *inside* a program is
+    fine, complex *inputs/outputs* at the boundary are not. This
+    wrapper splits every complex leaf of ``args`` into (real, imag)
+    float pairs on the host, reassembles them inside one jitted call,
+    splits complex outputs back into float pairs on the device, and
+    recombines them on the host. ``fn`` is compiled once per call-site
+    function object.
+    """
+    import jax
+
+    flat_args, treedef = jax.tree_util.tree_flatten(tuple(args))
+    split_args = []
+    is_complex_in = []
+    for leaf in flat_args:
+        leaf = np.asarray(leaf) if not hasattr(leaf, 'dtype') else leaf
+        if np.iscomplexobj(leaf):
+            leaf = np.asarray(leaf)
+            split_args.extend([
+                np.ascontiguousarray(leaf.real),
+                np.ascontiguousarray(leaf.imag),
+            ])
+            is_complex_in.append(True)
+        else:
+            split_args.append(leaf)
+            is_complex_in.append(False)
+
+    cache_key = (fn, treedef, tuple(is_complex_in))
+    if cache_key not in _DEVICE_RUN_CACHE:
+        meta = {}
+
+        def inner(*split):
+            rebuilt = []
+            it = iter(split)
+            for c in is_complex_in:
+                if c:
+                    re = next(it)
+                    rebuilt.append(re + 1j * next(it))
+                else:
+                    rebuilt.append(next(it))
+            result = fn(*jax.tree_util.tree_unflatten(treedef, rebuilt))
+            out_flat, out_treedef = jax.tree_util.tree_flatten(result)
+            out_split = []
+            out_complex = []
+            for leaf in out_flat:
+                leaf = jnp.asarray(leaf)
+                if jnp.iscomplexobj(leaf):
+                    out_split.extend([leaf.real, leaf.imag])
+                    out_complex.append(True)
+                else:
+                    out_split.append(leaf)
+                    out_complex.append(False)
+            meta['complex'] = tuple(out_complex)
+            meta['treedef'] = out_treedef
+            return tuple(out_split)
+
+        _DEVICE_RUN_CACHE[cache_key] = (jax.jit(inner), meta)
+    jitted, meta = _DEVICE_RUN_CACHE[cache_key]
+
+    out_split = jitted(*split_args)
+    out_leaves = []
+    it = iter(out_split)
+    for c in meta['complex']:
+        if c:
+            re = np.asarray(next(it))
+            out_leaves.append(re + 1j * np.asarray(next(it)))
+        else:
+            out_leaves.append(np.asarray(next(it)))
+    return jax.tree_util.tree_unflatten(meta['treedef'], out_leaves)
 
 
 def abs_square(x):
