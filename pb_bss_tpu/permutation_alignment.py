@@ -201,15 +201,13 @@ def _mapping_from_score_matrix(score_matrix, algorithm='optimal'):
     including the leading-axis ordering of the result: (K, ...).
 
     >>> score_matrix = np.array([[11, 10, 0], [4, 5, 10], [6, 0, 5]])
-    >>> np.asarray(_mapping_from_score_matrix(score_matrix, 'optimal'))
-    array([1, 2, 0], dtype=int32)
-    >>> np.asarray(_mapping_from_score_matrix(score_matrix, 'greedy'))
-    array([0, 2, 1], dtype=int32)
+    >>> np.asarray(_mapping_from_score_matrix(score_matrix, 'optimal')).tolist()
+    [1, 2, 0]
+    >>> np.asarray(_mapping_from_score_matrix(score_matrix, 'greedy')).tolist()
+    [0, 2, 1]
     >>> np.asarray(_mapping_from_score_matrix(
-    ...     [score_matrix, score_matrix], 'greedy'))
-    array([[0, 0],
-           [2, 2],
-           [1, 1]], dtype=int32)
+    ...     [score_matrix, score_matrix], 'greedy')).tolist()
+    [[0, 0], [2, 2], [1, 1]]
     """
     score_matrix = jnp.asarray(score_matrix)
     if not isinstance(score_matrix, jax.core.Tracer):
