@@ -85,7 +85,8 @@ def get_power_spectral_density_matrix(
 
     if mask is None:
         psd = jnp.einsum(
-            '...dt,...et->...de', observation, observation.conj())
+            '...dt,...et->...de', observation, observation.conj(),
+            precision=jax.lax.Precision.HIGHEST)
         psd = psd / observation.shape[-1]
         return psd
 
@@ -100,7 +101,8 @@ def get_power_spectral_density_matrix(
     if mask.ndim + 1 == observation.ndim:
         mask = jnp.expand_dims(mask, -2)
         return jnp.einsum(
-            '...dt,...et->...de', mask * observation, observation.conj())
+            '...dt,...et->...de', mask * observation, observation.conj(),
+            precision=jax.lax.Precision.HIGHEST)
 
     mask_transpose = [
         i for i in range(-observation.ndim, 0)
@@ -108,7 +110,8 @@ def get_power_spectral_density_matrix(
     ] + [source_dim, time_dim]
     mask = mask.transpose(mask_transpose)
     psd = jnp.einsum(
-        '...kt,...dt,...et->...kde', mask, observation, observation.conj())
+        '...kt,...dt,...et->...kde', mask, observation, observation.conj(),
+        precision=jax.lax.Precision.HIGHEST)
     if source_dim < -2:
         psd = jnp.moveaxis(psd, -3, source_dim % observation.ndim)
     return psd

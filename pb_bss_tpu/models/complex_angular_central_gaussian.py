@@ -150,12 +150,14 @@ class ComplexAngularCentralGaussian(Model):
         # z = V^H y : batched matmul (MXU), then the quadratic form is a
         # scaled magnitude reduction (VPU).
         z = jnp.einsum(
-            '...de,...dt->...et', self.covariance_eigenvectors.conj(), y)
+            '...de,...dt->...et', self.covariance_eigenvectors.conj(), y,
+            precision=jax.lax.Precision.HIGHEST)
         quadratic_form = jnp.maximum(
             jnp.einsum(
                 '...et,...e->...t',
                 z.real ** 2 + z.imag ** 2,
                 1. / self.covariance_eigenvalues,
+                precision=jax.lax.Precision.HIGHEST,
             ),
             _tiny(y),
         )
@@ -241,7 +243,9 @@ class ComplexAngularCentralGaussianTrainer:
         # scatter: D * sum_t w_t y_t y_t^H / denominator — a batched
         # matmul over the (contiguous, time-last) reduction axis.
         yw = y * weights[..., None, :].astype(_real_dtype(y))
-        covariance = D * jnp.einsum('...dn,...en->...de', yw, y.conj())
+        covariance = D * jnp.einsum(
+            '...dn,...en->...de', yw, y.conj(),
+            precision=jax.lax.Precision.HIGHEST)
         covariance = covariance / jnp.maximum(
             denominator, _tiny(covariance)).astype(_real_dtype(covariance))
         assert covariance.shape == (*independent, D, D), (

@@ -205,11 +205,14 @@ class ComplexWatsonTrainer:
 
     def _fit(self, y, saliency) -> ComplexWatson:
         if saliency is None:
-            covariance = jnp.einsum('...nd,...nD->...dD', y, y.conj())
+            covariance = jnp.einsum(
+                '...nd,...nD->...dD', y, y.conj(),
+                precision=jax.lax.Precision.HIGHEST)
             denominator = jnp.asarray(y.shape[-2], _real_dtype(y))
         else:
             covariance = jnp.einsum(
-                '...n,...nd,...nD->...dD', saliency, y, y.conj())
+                '...n,...nd,...nD->...dD', saliency, y, y.conj(),
+                precision=jax.lax.Precision.HIGHEST)
             denominator = jnp.einsum(
                 '...n->...', saliency)[..., None, None]
         covariance = covariance / jnp.maximum(
