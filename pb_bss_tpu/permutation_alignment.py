@@ -72,6 +72,10 @@ def sample_random_mapping(K, F, key=None):
 def apply_mapping(mask, mapping):
     """Apply a reverse mapping: ``aligned[k, f] = mask[mapping[k, f], f]``.
 
+    Float masks are permuted by a one-hot contraction (TPU gathers
+    lower to slow dynamic slices; the (K, F, K) permutation-matrix
+    einsum stays on the VPU/MXU); integer/bool masks use the gather.
+
     Args:
         mask: (K, F, ...) permuted mask.
         mapping: (K, F) integer reverse mapping.
@@ -81,6 +85,10 @@ def apply_mapping(mask, mapping):
     K, F = mapping.shape
     assert K < 20, (K, mapping.shape)
     assert mask.shape[:2] == mapping.shape, (mask.shape, mapping.shape)
+    if jnp.issubdtype(mask.dtype, jnp.floating) \
+            or jnp.issubdtype(mask.dtype, jnp.complexfloating):
+        perm = (mapping[..., None] == jnp.arange(K)).astype(mask.dtype)
+        return jnp.einsum('kfj,jf...->kf...', perm, mask)
     idx = mapping.reshape(mapping.shape + (1,) * (mask.ndim - 2))
     return jnp.take_along_axis(mask, idx, axis=0)
 
@@ -365,8 +373,15 @@ class DHTVPermutationAlignment(_PermutationAlignment):
                 rev = _optimal_mapping(score.real)
             rev_kf = rev.T  # (K, W)
             changed = jnp.any(rev_kf != identity)
-            feats = jnp.take_along_axis(feats, rev_kf[..., None], axis=0)
-            mapping = jnp.take_along_axis(mapping, rev_kf, axis=0)
+            # Apply the per-bin permutation as a one-hot contraction:
+            # TPU gathers lower to slow dynamic slices, a (W, K, K)
+            # permutation-matrix einsum stays on the VPU/MXU.
+            perm = (rev[..., None] == jnp.arange(K)).astype(
+                feats.real.dtype)  # (W, K_new, K_old)
+            feats = jnp.einsum('wkj,jwt->kwt', perm, feats)
+            mapping = jnp.einsum(
+                'wkj,jw->kw', perm, mapping.astype(feats.real.dtype)
+            ).astype(mapping.dtype)
             return feats, mapping, changed, it + 1
 
         features, mapping, _, _ = lax.while_loop(
