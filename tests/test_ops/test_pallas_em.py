@@ -64,3 +64,38 @@ def test_posterior_normalized():
     aff, _ = cacgmm_e_step(*args, interpret=True)
     assert_allclose(
         np.asarray(aff).sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_em_scatter_kernel_matches_reference():
+    from pb_bss_tpu.ops.pallas_em import (
+        cacgmm_em_scatter, cacgmm_em_scatter_reference)
+    args = _data(seed=3)
+    sr_p, si_p, asum_p = cacgmm_em_scatter(*args, interpret=True)
+    sr_r, si_r, asum_r = cacgmm_em_scatter_reference(*args)
+    assert_allclose(np.asarray(sr_p), np.asarray(sr_r), atol=1e-4)
+    assert_allclose(np.asarray(si_p), np.asarray(si_r), atol=1e-4)
+    assert_allclose(np.asarray(asum_p), np.asarray(asum_r), atol=1e-5)
+
+
+def test_trainer_use_pallas_em_matches_xla():
+    """CACGMMTrainer(use_pallas_em=True) reproduces the XLA EM
+    trajectory (interpret mode via CPU pallas lowering)."""
+    from pb_bss_tpu.models.cacgmm import CACGMMTrainer
+    rng = np.random.default_rng(4)
+    F, T, D, K = 5, 40, 3, 2
+    y = (rng.standard_normal((F, T, D))
+         + 1j * rng.standard_normal((F, T, D))).astype(np.complex64)
+    trainer = CACGMMTrainer()
+    m_xla = trainer.fit(
+        y, num_classes=K, iterations=4, affiliation_eps=0,
+        key=jax.random.key(0))
+    m_pl = trainer.fit(
+        y, num_classes=K, iterations=4, affiliation_eps=0,
+        key=jax.random.key(0), use_pallas_em=True)
+    assert_allclose(
+        np.asarray(m_pl.cacg.covariance_eigenvalues),
+        np.asarray(m_xla.cacg.covariance_eigenvalues),
+        rtol=1e-3, atol=1e-5)
+    assert_allclose(
+        np.asarray(m_pl.weight), np.asarray(m_xla.weight),
+        rtol=1e-3, atol=1e-5)
