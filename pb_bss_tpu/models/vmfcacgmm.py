@@ -222,10 +222,12 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
         embedding_ = jnp.reshape(embedding, (1, F * T, E))
         masked_affiliation_ = jnp.reshape(
             jnp.transpose(masked_affiliation, (1, 0, 2)), (K, F * T))
+        # NOTE: like the reference (vmfcacgmm.py:280-284) the vMF
+        # M-step runs on the *raw* embedding (``_fit`` assumes unit
+        # norm; the resulting resultant length r_bar reflects the
+        # embedding magnitudes) — kept for exact semantic parity.
         vmf = VonMisesFisherTrainer()._fit(
-            y=embedding_ / jnp.maximum(
-                jnp.linalg.norm(embedding_, axis=-1, keepdims=True),
-                jnp.finfo(embedding.dtype).tiny),
+            y=embedding_,
             saliency=masked_affiliation_,
             min_concentration=min_concentration,
             max_concentration=max_concentration,

@@ -8,53 +8,20 @@ that the TPU-native re-design preserves the reference's semantics.
 
 Skipped when the reference checkout is not present.
 """
-import pathlib
-import sys
-import types
-
 import numpy as np
 import pytest
 from numpy.testing import assert_allclose
 
-REFERENCE = pathlib.Path('/root/reference')
+from _reference_loader import load_reference, reference_available
 
 pytestmark = pytest.mark.skipif(
-    not (REFERENCE / 'pb_bss').is_dir(),
+    not reference_available(),
     reason='reference checkout not available')
 
 
 @pytest.fixture(scope='module')
 def ref():
-    """Import the reference's numpy modules with dependency stubs."""
-    for name in [
-        'cached_property', 'mir_eval', 'mir_eval.separation',
-        'pystoi', 'pystoi.stoi', 'pesq', 'nara_wpe', 'nara_wpe.utils',
-        'paderbox', 'paderbox.array', 'paderbox.array.segment',
-        'lazy_dataset', 'sklearn', 'sklearn.cluster', 'sklearn.mixture',
-        'sklearn.mixture._gaussian_mixture',
-    ]:
-        sys.modules.setdefault(name, types.ModuleType(name))
-    sys.modules['cached_property'].cached_property = property
-    sys.modules['sklearn.cluster'].KMeans = object
-
-    def _unavailable(*args, **kwargs):
-        raise NotImplementedError
-
-    gm = sys.modules['sklearn.mixture._gaussian_mixture']
-    gm._compute_precision_cholesky = _unavailable
-    gm._compute_log_det_cholesky = _unavailable
-    sys.modules['paderbox.array.segment'].segment_axis = _unavailable
-
-    # the reference predates NumPy 2.0 (np.asfarray was removed)
-    if not hasattr(np, 'asfarray'):
-        np.asfarray = lambda a, dtype=np.float64: np.asarray(
-            a, dtype=dtype)
-
-    if str(REFERENCE) not in sys.path:
-        sys.path.insert(0, str(REFERENCE))
-    import importlib
-    modules = {}
-    for name in [
+    return load_reference([
         'pb_bss.utils',
         'pb_bss.math.solve',
         'pb_bss.distribution.mixture_model_utils',
@@ -66,9 +33,7 @@ def ref():
         'pb_bss.permutation_alignment',
         'pb_bss.evaluation.sxr_module',
         'pb_bss.evaluation.module_si_sdr',
-    ]:
-        modules[name] = importlib.import_module(name)
-    return modules
+    ])
 
 
 def _rng(seed=0):
