@@ -110,40 +110,54 @@ def bench_jax(y):
         get_power_spectral_density_matrix, get_gev_vector,
     )
 
-    # Complex data must not cross the host boundary on tunneled TPU
-    # backends: move real/imag parts and combine on device.
-    y = jax.jit(lambda re, im: re + 1j * im)(
-        np.ascontiguousarray(y.real, np.float32),
-        np.ascontiguousarray(y.imag, np.float32))
+    # Timing protocol for the tunneled TPU backend:
+    # (a) complex data must not cross the host boundary (combine
+    #     real/imag parts on device),
+    # (b) repeat executions with identical inputs are memoized, so
+    #     every rep gets a distinct pre-staged input,
+    # (c) ``block_until_ready`` does not actually synchronize on this
+    #     backend — completion is forced by FETCHING a derived scalar
+    #     to the host inside the timed window.
+    combine = jax.jit(lambda re, im: re + 1j * im)
+    fetch = jax.jit(lambda v: v + 0.0)
+    rng = np.random.default_rng(123)
+    reps = 20
+    inputs = [
+        combine(
+            np.ascontiguousarray(y.real, np.float32)
+            + 1e-3 * rng.standard_normal(y.shape).astype(np.float32),
+            np.ascontiguousarray(y.imag, np.float32),
+        )
+        for _ in range(reps)
+    ]
     trainer = CACGMMTrainer()
 
-    def run_em():
-        model = trainer.fit(y, num_classes=K, iterations=EM_ITERS)
-        return jax.block_until_ready(
-            jax.tree_util.tree_leaves(model))
+    def fit(y_dev):
+        model = trainer.fit(y_dev, num_classes=K, iterations=EM_ITERS)
+        return jnp.sum(model.cacg.covariance_eigenvalues)
 
-    run_em()  # compile
+    _ = np.asarray(fetch(fit(inputs[0])))  # compile + warm
     start = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        run_em()
+    acc = sum(fit(y_dev) for y_dev in inputs)
+    _ = np.asarray(fetch(acc))
     em_time = (time.perf_counter() - start) / (reps * EM_ITERS)
 
-    model = trainer.fit(y, num_classes=K, iterations=EM_ITERS)
-    affiliation = model.predict(y)
+    model = trainer.fit(inputs[0], num_classes=K, iterations=EM_ITERS)
+    affiliation = model.predict(inputs[0])
 
     @jax.jit
-    def gev(affiliation, y):
-        yt = jnp.swapaxes(y, -2, -1)
+    def gev(affiliation, y_dev):
+        yt = jnp.swapaxes(y_dev, -2, -1)
         psd = get_power_spectral_density_matrix(
             yt, jnp.asarray(affiliation), source_dim=-2)
-        return get_gev_vector(psd[:, 0], psd[:, -1])
+        w = get_gev_vector(psd[:, 0], psd[:, -1])
+        return jnp.sum(jnp.abs(w))
 
-    jax.block_until_ready(gev(affiliation, y))  # compile
+    _ = np.asarray(fetch(gev(affiliation, inputs[0])))  # compile
     start = time.perf_counter()
-    for _ in range(5):
-        jax.block_until_ready(gev(affiliation, y))
-    gev_time = (time.perf_counter() - start) / 5
+    acc = sum(gev(affiliation, y_dev) for y_dev in inputs)
+    _ = np.asarray(fetch(acc))
+    gev_time = (time.perf_counter() - start) / reps
     return em_time, gev_time
 
 
@@ -166,7 +180,11 @@ def bench_end_to_end():
 
     rng = np.random.default_rng(1)
     num_samples = 38520  # ~4.8 s at 8 kHz
-    observation = rng.standard_normal((D, num_samples)).astype(np.float32)
+    reps = 3
+    observations = [
+        rng.standard_normal((D, num_samples)).astype(np.float32)
+        for _ in range(reps + 1)
+    ]
     pa = DHTVPermutationAlignment.from_stft_size(512)
 
     def full_pipeline(observation):
@@ -188,10 +206,9 @@ def bench_end_to_end():
             outs.append(apply_beamforming_vector(w, Y_fdt))
         return istft(jnp.stack(outs), 512, 128)
 
-    run_on_device(full_pipeline, observation)  # compile
+    run_on_device(full_pipeline, observations[0])  # compile
     start = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
+    for observation in observations[1:]:
         run_on_device(full_pipeline, observation)
     return (time.perf_counter() - start) / reps  # sec / utterance
 
