@@ -93,7 +93,9 @@ class ComplexAngularCentralGaussian(Model):
         else:
             assert covariance_norm in ['eigenvalue', False], covariance_norm
 
-        eigenvals, eigenvecs = eigh_jacobi(covariance)
+        # order irrelevant here (max/floor/logdet are order-free):
+        # skip the sorting permutation, which would dominate the cost
+        eigenvals, eigenvecs = eigh_jacobi(covariance, sort=False)
         eigenvals = eigenvals.real
         if covariance_norm == 'eigenvalue':
             # Scale of the eigenvalues does not matter for the density.

@@ -208,7 +208,12 @@ def eigh_jacobi(a, *, sweeps: Optional[int] = None, sort: bool = True):
     if sort:
         order = jnp.argsort(w, axis=-1)
         w = jnp.take_along_axis(w, order, axis=-1)
-        V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
+        # Column permutation as a one-hot einsum: TPU gathers on
+        # (B, D, D) lower to slow dynamic slices and would dominate
+        # the whole eigh (~70% of an EM iteration).
+        perm = (order[:, None, :] == jnp.arange(d)[None, :, None]
+                ).astype(V.dtype)  # perm[b, e, i] = order[b, i] == e
+        V = jnp.einsum('bde,bei->bdi', V, perm)
     return w.reshape(batch_shape + (d,)), V.reshape(batch_shape + (d, d))
 
 
@@ -358,8 +363,12 @@ def gev_max_eigvec(target_psd_matrix, noise_psd_matrix, *,
         L, tmp.conj().swapaxes(-1, -2), lower=True
     ).conj().swapaxes(-1, -2)
     c = force_hermitian(c)
-    w, v = eigh_jacobi(c)
-    u = v[..., -1]  # dominant eigenvector of whitened problem
+    # no sort: select the dominant eigenvector via a one-hot argmax
+    # contraction (cheaper than the sorting permutation)
+    w, v = eigh_jacobi(c, sort=False)
+    sel = (jnp.argmax(w, axis=-1)[..., None]
+           == jnp.arange(w.shape[-1])).astype(v.dtype)
+    u = jnp.einsum('...de,...e->...d', v, sel)
     # back-substitute: w = L^-H u
     beam = jax.scipy.linalg.solve_triangular(
         L.conj().swapaxes(-1, -2), u[..., None], lower=False
