@@ -84,6 +84,7 @@ def _numpy_gev(phi_xx, phi_nn):
 
 
 def bench_numpy(y):
+    _numpy_em(y, 1)  # warm up BLAS threads / allocators
     start = time.perf_counter()
     affiliation = _numpy_em(y, 3)
     em_time = (time.perf_counter() - start) / 3  # sec / EM iter

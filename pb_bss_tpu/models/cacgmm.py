@@ -134,7 +134,7 @@ def _cacgmm_log_likelihood_jit(model, y):
 
 def _m_step(y, quadratic_form, affiliation, saliency, *,
             hermitize, covariance_norm, eigenvalue_floor,
-            weight_constant_axis):
+            weight_constant_axis, eigh_sweeps=None):
     weight = estimate_mixture_weight(
         affiliation=affiliation,
         saliency=saliency,
@@ -151,6 +151,7 @@ def _m_step(y, quadratic_form, affiliation, saliency, *,
         hermitize=hermitize,
         covariance_norm=covariance_norm,
         eigenvalue_floor=eigenvalue_floor,
+        eigh_sweeps=eigh_sweeps,
     )
     return CACGMM(weight=weight, cacg=cacg)
 
@@ -160,13 +161,13 @@ def _m_step(y, quadratic_form, affiliation, saliency, *,
     static_argnames=(
         'iterations', 'weight_constant_axis', 'hermitize', 'covariance_norm',
         'eigenvalue_floor', 'affiliation_eps', 'aligner', 'first_e_step',
-        'use_pallas_em',
+        'use_pallas_em', 'eigh_sweeps',
     ),
 )
 def _fit_em(y, model, affiliation, quadratic_form, saliency,
             source_activity_mask, *, iterations, weight_constant_axis,
             hermitize, covariance_norm, eigenvalue_floor, affiliation_eps,
-            aligner, first_e_step, use_pallas_em=False):
+            aligner, first_e_step, use_pallas_em=False, eigh_sweeps=None):
     """The full EM loop as one compiled program.
 
     When ``first_e_step`` is False the loop starts from the provided
@@ -181,6 +182,7 @@ def _fit_em(y, model, affiliation, quadratic_form, saliency,
         covariance_norm=covariance_norm,
         eigenvalue_floor=eigenvalue_floor,
         weight_constant_axis=weight_constant_axis,
+        eigh_sweeps=eigh_sweeps,
     )
 
     def e_then_m(model):
@@ -228,6 +230,7 @@ def _fit_em(y, model, affiliation, quadratic_form, saliency,
             covariance,
             eigenvalue_floor=eigenvalue_floor,
             covariance_norm=covariance_norm,
+            eigh_sweeps=eigh_sweeps,
         )
         new_weight = (aff_sum / T)[..., None]
         return CACGMM(weight=new_weight, cacg=new_cacg)
@@ -266,6 +269,7 @@ class CACGMMTrainer:
             eigenvalue_floor=1e-10,
             inline_permutation_aligner=None,
             use_pallas_em=False,
+            eigh_sweeps=None,
     ) -> CACGMM:
         """Fit a cACGMM with EM.
 
@@ -286,9 +290,15 @@ class CACGMMTrainer:
             inline_permutation_aligner: optional aligner run after each
                 E-step (jit-compatible, runs inside the compiled loop).
             use_pallas_em: use the fused Pallas E+M TPU kernel
-                (pb_bss_tpu.ops.pallas_em); requires (F, N, D) input
-                without saliency/mask/aligner and
-                weight_constant_axis=(-1,). ~1.4x faster at large N.
+                (pb_bss_tpu.ops.pallas_em, experimental); requires
+                (F, N, D) input without saliency/mask/aligner and
+                weight_constant_axis=(-1,).
+            eigh_sweeps: Jacobi sweeps for the per-iteration batched
+                eigendecomposition (default: dtype-dependent machine
+                precision, 6 for f32). The EM is self-correcting;
+                ``eigh_sweeps=4`` (~1e-3 eigenvalue accuracy) is
+                ~1.3-1.4x faster per iteration on TPU at unchanged
+                separation quality.
         """
         assert xor(initialization is None, num_classes is None), (
             'Incompatible input combination. '
@@ -375,6 +385,7 @@ class CACGMMTrainer:
             aligner=inline_permutation_aligner,
             first_e_step=model is not None,
             use_pallas_em=bool(use_pallas_em),
+            eigh_sweeps=None if eigh_sweeps is None else int(eigh_sweeps),
         )
 
     def fit_predict(

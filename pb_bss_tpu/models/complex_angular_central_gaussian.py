@@ -83,6 +83,7 @@ class ComplexAngularCentralGaussian(Model):
             covariance,
             eigenvalue_floor=0.,
             covariance_norm='eigenvalue',
+            eigh_sweeps=None,
     ):
         covariance = jnp.asarray(covariance)
         if covariance_norm == 'trace':
@@ -93,9 +94,8 @@ class ComplexAngularCentralGaussian(Model):
         else:
             assert covariance_norm in ['eigenvalue', False], covariance_norm
 
-        # order irrelevant here (max/floor/logdet are order-free):
-        # skip the sorting permutation, which would dominate the cost
-        eigenvals, eigenvecs = eigh_jacobi(covariance, sort=False)
+        eigenvals, eigenvecs = eigh_jacobi(
+            covariance, sweeps=eigh_sweeps)
         eigenvals = eigenvals.real
         if covariance_norm == 'eigenvalue':
             # Scale of the eigenvalues does not matter for the density.
@@ -218,6 +218,7 @@ class ComplexAngularCentralGaussianTrainer:
             hermitize=True,
             covariance_norm='eigenvalue',
             eigenvalue_floor=1e-10,
+            eigh_sweeps=None,
     ) -> ComplexAngularCentralGaussian:
         """Single M-step. y in time-last layout (..., D, N);
         saliency/quadratic_form: (..., N)."""
@@ -260,4 +261,5 @@ class ComplexAngularCentralGaussianTrainer:
             covariance,
             eigenvalue_floor=eigenvalue_floor,
             covariance_norm=covariance_norm,
+            eigh_sweeps=eigh_sweeps,
         )

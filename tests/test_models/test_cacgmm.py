@@ -175,3 +175,31 @@ def test_sample_cacgmm_labels_match():
     assert 0.6 < frac < 0.8, frac  # ~0.7 of samples from class 1
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(x), axis=-1), 1.0, rtol=1e-6)
+
+
+def test_eigh_sweeps_quality_equivalent():
+    """The eigh_sweeps speed knob (reduced Jacobi sweeps inside the
+    self-correcting EM) does not change separation quality."""
+    import jax
+    import numpy as np
+    from pb_bss_tpu.models.cacgmm import CACGMMTrainer
+
+    rng = np.random.RandomState(0)
+    F, T, D = 65, 120, 4
+    atf = rng.randn(F, D, 2) + 1j * rng.randn(F, D, 2)
+    active = np.arange(T) % 2 == 0
+    y = np.where(active[None, :, None], atf[:, None, :, 0],
+                 atf[:, None, :, 1])
+    y = (y * np.exp(2j * np.pi * rng.rand(F, T, 1))
+         + 0.1 * (rng.randn(F, T, D) + 1j * rng.randn(F, T, D))
+         ).astype(np.complex64)
+    accs = {}
+    for sweeps in [None, 4]:
+        m = CACGMMTrainer().fit(
+            y, num_classes=2, iterations=30, key=jax.random.key(0),
+            eigh_sweeps=sweeps)
+        a = np.asarray(m.predict(y))
+        acc = np.mean(a.argmax(1) == active[None, :], axis=-1)
+        accs[sweeps] = float(np.maximum(acc, 1 - acc).mean())
+    assert accs[None] > 0.95
+    assert abs(accs[None] - accs[4]) < 0.02, accs
