@@ -1,0 +1,106 @@
+"""High-level separation pipeline.
+
+The reference leaves pipeline assembly to the user (notebook
+examples/mixture_model_example.ipynb); this module packages the
+standard recipe — STFT -> cACGMM EM -> DHTV permutation alignment ->
+mask-based extraction or beamforming -> iSTFT — as one jittable
+function, so a whole utterance (or a vmapped batch) runs as a single
+compiled TPU program.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .extraction.beamformer import (
+    apply_beamforming_vector,
+    get_power_spectral_density_matrix,
+    phase_correction,
+)
+from .extraction.beamformer_wrapper import get_bf_vector
+from .models.cacgmm import CACGMMTrainer
+from .permutation_alignment import DHTVPermutationAlignment
+from .transform import istft, stft
+
+__all__ = ['separate']
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        'num_classes', 'iterations', 'stft_size', 'stft_shift',
+        'beamformer', 'reference_channel', 'eigh_sweeps',
+    ),
+)
+def separate(
+        observation,
+        *,
+        num_classes=3,
+        iterations=80,
+        stft_size=512,
+        stft_shift=128,
+        beamformer=None,
+        reference_channel=0,
+        key=None,
+        eigh_sweeps=None,
+):
+    """Blind source separation of a multichannel recording.
+
+    Args:
+        observation: (D, num_samples) real multichannel time signal.
+        num_classes: number of mixture components (speakers + noise).
+        iterations: cACGMM EM iterations.
+        beamformer: None for mask-based extraction at
+            ``reference_channel``, or a ``get_bf_vector`` name (e.g.
+            ``'gev+ban'``, ``'mvdr_souden'``) applied per class with
+            the summed other classes as noise.
+        key: jax PRNG key for the EM initialization.
+        eigh_sweeps: optional speed knob for the EM eigendecomposition.
+    Returns:
+        (num_classes, num_samples) separated time signals (mask-based
+        signals are aligned across frequency; global class order is
+        arbitrary).
+    """
+    observation = jnp.asarray(observation)
+    assert observation.ndim == 2, observation.shape
+    num_samples = observation.shape[-1]
+    if key is None:
+        key = jax.random.key(0)
+
+    Observation = stft(observation, stft_size, stft_shift)  # (D, T, F)
+    Y = jnp.einsum('dtf->ftd', Observation)
+
+    model = CACGMMTrainer().fit(
+        Y, num_classes=num_classes, iterations=iterations, key=key,
+        eigh_sweeps=eigh_sweeps)
+    affiliation = model.predict(Y)  # (F, K, T)
+
+    pa = DHTVPermutationAlignment.from_stft_size(stft_size)
+    masks = pa(jnp.einsum('fkt->kft', affiliation))  # (K, F, T)
+
+    if beamformer is None:
+        masked = jnp.einsum('kft->ktf', masks) \
+            * Observation[reference_channel]
+        estimates = istft(
+            masked, stft_size, stft_shift, num_samples=num_samples)
+    else:
+        Y_fdt = jnp.einsum('dtf->fdt', Observation)
+        psds = get_power_spectral_density_matrix(
+            Y_fdt, jnp.einsum('kft->fkt', masks))  # (F, K, D, D)
+        outs = []
+        for k in range(num_classes):
+            phi_xx = psds[:, k]
+            phi_nn = psds.sum(1) - phi_xx
+            w = get_bf_vector(beamformer, phi_xx, phi_nn)
+            # eigenvector-based beamformers carry an arbitrary phase
+            # per frequency; align phases across bins before the
+            # synthesis (reference beamformer.py:517 phase_correction)
+            w = phase_correction(w)
+            # (F, T) -> time-major (T, F) for the synthesis
+            outs.append(apply_beamforming_vector(w, Y_fdt).T)
+        estimates = istft(
+            jnp.stack(outs), stft_size, stft_shift,
+            num_samples=num_samples)
+    return estimates

@@ -16,3 +16,36 @@ def test_mixture_model_example_runs(capsys):
     out = capsys.readouterr().out
     assert 'mask-based extraction' in out
     assert 'GEV+BAN beamforming' in out
+
+
+def test_separate_pipeline_api():
+    """High-level separate(): mask-based and beamformed variants."""
+    import numpy as np
+    from pb_bss_tpu.pipeline import separate
+    from pb_bss_tpu.testing.dummy_data import low_reverberation_data
+    from pb_bss_tpu.evaluation import bss_eval_sources
+
+    ex = low_reverberation_data()
+    observation = ex['observation'].astype(np.float32)
+    sources = ex['speech_source']
+    n = observation.shape[-1]
+
+    estimates = np.asarray(separate(
+        observation, num_classes=3, iterations=40))
+    assert estimates.shape == (3, n)
+
+    bf = np.asarray(separate(
+        observation, num_classes=3, iterations=40,
+        beamformer='gev+ban'))
+    assert bf.shape == (3, n)
+
+    # at least one estimate matches each source reasonably
+    for target in [estimates, bf]:
+        for k in range(2):
+            sdrs = [
+                bss_eval_sources(
+                    sources, np.stack([e, e]),
+                    compute_permutation=False)[0][k]
+                for e in target
+            ]
+            assert max(sdrs) > 3, (k, sdrs)
