@@ -15,6 +15,8 @@ import sys as _sys
 
 from . import utils  # noqa: F401
 from . import parallel  # noqa: F401
+from . import pipeline  # noqa: F401
+from .pipeline import separate  # noqa: F401
 from . import math  # noqa: F401
 from . import ops  # noqa: F401
 from . import initializer  # noqa: F401
