@@ -146,6 +146,23 @@ def bench_jax(y):
     _ = np.asarray(fetch(acc))
     em_time = (time.perf_counter() - start) / (reps * EM_ITERS)
 
+    # production recipe: reduced Jacobi sweeps inside the
+    # self-correcting EM (quality-equivalent, see
+    # tests/test_models/test_cacgmm.py::test_eigh_sweeps_quality_equivalent)
+    @jax.jit
+    def fit_fast(y_re, y_im):
+        model = trainer.fit(
+            y_re + 1j * y_im, num_classes=K, iterations=EM_ITERS,
+            eigh_sweeps=4)
+        return jnp.sum(model.cacg.covariance_eigenvalues)
+
+    _ = np.asarray(fetch(fit_fast(*inputs[0])))
+    start = time.perf_counter()
+    acc = sum(fit_fast(a, b) for a, b in inputs)
+    _ = np.asarray(fetch(acc))
+    em_fast_time = (time.perf_counter() - start) / (reps * EM_ITERS)
+    bench_jax.em_fast_time = em_fast_time
+
     y0 = jax.jit(lambda re, im: re + 1j * im)(*inputs[0])
     model = trainer.fit(y0, num_classes=K, iterations=EM_ITERS)
     affiliation = model.predict(y0)
@@ -240,7 +257,9 @@ def main():
     }))
     # Secondary detail for humans:
     print(
-        f'# em: jax {em_jax * 1e3:.2f} ms/iter vs numpy '
+        f'# em: jax {em_jax * 1e3:.2f} ms/iter '
+        f'({getattr(bench_jax, "em_fast_time", em_jax) * 1e3:.2f} '
+        f'ms/iter with eigh_sweeps=4) vs numpy '
         f'{em_np * 1e3:.2f} ms/iter; gev(513x6): jax '
         f'{gev_jax * 1e3:.2f} ms vs numpy {gev_np * 1e3:.2f} ms; '
         f'pipeline speedup {pipeline_np / pipeline:.1f}x; '
