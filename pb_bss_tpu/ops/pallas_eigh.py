@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: batched Hermitian eigendecomposition.
+
+The XLA lowering of the batched cyclic Jacobi (ops/linalg.py) issues
+~700 HLOs per eigendecomposition (90 rotations x ~8 slice updates),
+which makes the eigh the dominant cost of an EM iteration (~1.3 ms for
+(1539, 6, 6) inside a scan — an HLO-granularity floor, not a FLOP or
+bandwidth limit). This kernel runs ALL sweeps inside one Pallas kernel
+with the matrices resident in VMEM and the batch in the lane dimension
+(layout (D, D, TILE_B)), so a rotation is a handful of (D, TILE_B)
+vector instructions instead of HLO dispatches.
+
+Complex matrices are processed as (real, imag) planes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['eigh_jacobi_pallas']
+
+_TILE_B = 256
+
+
+def _eigh_kernel(a_re_ref, a_im_ref, w_ref, v_re_ref, v_im_ref,
+                 ar, ai, vr, vi, *, d, sweeps, tiny):
+    """One batch tile: full Jacobi eigendecomposition in VMEM.
+
+    Blocks: input (d, d, TILE_B) real/imag planes; outputs
+    w (d, TILE_B), v (d, d, TILE_B) real/imag planes. The working
+    matrices live in VMEM scratch (ar/ai/vr/vi) and are updated with
+    static-index ref stores (Mosaic here lowers neither scatter nor
+    dynamic_update_slice on values).
+    """
+    ar[...] = a_re_ref[...]
+    ai[...] = a_im_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, ar.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, ar.shape, 1)
+    vr[...] = jnp.where(row == col, 1.0, 0.0).astype(a_re_ref.dtype)
+    vi[...] = jnp.zeros(ar.shape, a_re_ref.dtype)
+
+    for _ in range(sweeps):
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                apq_r = ar[p, q, :]
+                apq_i = ai[p, q, :]
+                absa = jnp.sqrt(apq_r * apq_r + apq_i * apq_i)
+                app = ar[p, p, :]
+                aqq = ar[q, q, :]
+                safe = jnp.maximum(absa, tiny)
+                tau = (aqq - app) / (2 * safe)
+                t = jnp.where(
+                    tau == 0,
+                    jnp.ones_like(tau),
+                    jnp.sign(tau)
+                    / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau)),
+                )
+                c = jax.lax.rsqrt(1 + t * t)
+                sr = t * c
+                s_r = sr * apq_r / safe
+                s_i = sr * apq_i / safe
+                active = absa > 0
+                c = jnp.where(active, c, 1.0)
+                s_r = jnp.where(active, s_r, 0.0)
+                s_i = jnp.where(active, s_i, 0.0)
+
+                # rows: A[p] = c A[p] - s A[q]; A[q] = s* A[p] + c A[q]
+                rp_r, rp_i = ar[p, :, :], ai[p, :, :]
+                rq_r, rq_i = ar[q, :, :], ai[q, :, :]
+                ar[p, :, :] = c * rp_r - (s_r * rq_r - s_i * rq_i)
+                ai[p, :, :] = c * rp_i - (s_r * rq_i + s_i * rq_r)
+                ar[q, :, :] = (s_r * rp_r + s_i * rp_i) + c * rq_r
+                ai[q, :, :] = (s_r * rp_i - s_i * rp_r) + c * rq_i
+
+                # cols: A[:,p] = c A[:,p] - s* A[:,q];
+                #       A[:,q] = s A[:,p] + c A[:,q]
+                cp_r, cp_i = ar[:, p, :], ai[:, p, :]
+                cq_r, cq_i = ar[:, q, :], ai[:, q, :]
+                ar[:, p, :] = c * cp_r - (s_r * cq_r + s_i * cq_i)
+                ai[:, p, :] = c * cp_i - (s_r * cq_i - s_i * cq_r)
+                ar[:, q, :] = (s_r * cp_r - s_i * cp_i) + c * cq_r
+                ai[:, q, :] = (s_r * cp_i + s_i * cp_r) + c * cq_i
+
+                # V columns like A columns
+                vp_r, vp_i = vr[:, p, :], vi[:, p, :]
+                vq_r, vq_i = vr[:, q, :], vi[:, q, :]
+                vr[:, p, :] = c * vp_r - (s_r * vq_r + s_i * vq_i)
+                vi[:, p, :] = c * vp_i - (s_r * vq_i - s_i * vq_r)
+                vr[:, q, :] = (s_r * vp_r - s_i * vp_i) + c * vq_r
+                vi[:, q, :] = (s_r * vp_i + s_i * vp_r) + c * vq_i
+
+    for i in range(d):
+        w_ref[i, :] = ar[i, i, :]
+    v_re_ref[...] = vr[...]
+    v_im_ref[...] = vi[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=('sweeps', 'sort', 'interpret', 'tile_b'))
+def eigh_jacobi_pallas(a, *, sweeps=None, sort=True, interpret=False,
+                       tile_b=_TILE_B):
+    """Batched Hermitian eigh for f32/c64 inputs via a single Pallas
+    kernel; ~3.4x faster than the HLO-level Jacobi on TPU for
+    (1539, 6, 6) batches inside an EM scan (0.39 vs 1.32 ms).
+
+    Args:
+        a: (..., D, D) Hermitian (float32 or complex64).
+        sort: eigenvalues ascending (numpy convention).
+    Returns:
+        (eigenvalues (..., D) float32, eigenvectors (..., D, D)
+        complex64).
+    """
+    a = jnp.asarray(a)
+    d = a.shape[-1]
+    batch_shape = a.shape[:-2]
+    if sweeps is None:
+        sweeps = 6 if d <= 8 else 8
+
+    flat = a.reshape((-1, d, d))
+    B = flat.shape[0]
+    pad = (-B) % tile_b
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype), (pad, d, d))
+        flat = jnp.concatenate([flat, eye], axis=0)
+    Bp = flat.shape[0]
+
+    # batch-in-lanes layout
+    a_re = jnp.moveaxis(flat.real, 0, -1).astype(jnp.float32)
+    a_im = jnp.moveaxis(flat.imag, 0, -1).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _eigh_kernel, d=d, sweeps=sweeps,
+        tiny=float(np.finfo(np.float32).tiny))
+
+    w, v_re, v_im = pl.pallas_call(
+        kernel,
+        grid=(Bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((d, d, tile_b), lambda i: (0, 0, i)),
+            pl.BlockSpec((d, d, tile_b), lambda i: (0, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((d, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((d, d, tile_b), lambda i: (0, 0, i)),
+            pl.BlockSpec((d, d, tile_b), lambda i: (0, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((d, d, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((d, d, Bp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, d, tile_b), jnp.float32),
+            pltpu.VMEM((d, d, tile_b), jnp.float32),
+            pltpu.VMEM((d, d, tile_b), jnp.float32),
+            pltpu.VMEM((d, d, tile_b), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a_re, a_im)
+
+    w = jnp.moveaxis(w, -1, 0)[:B]
+    v = (jnp.moveaxis(v_re, -1, 0)
+         + 1j * jnp.moveaxis(v_im, -1, 0))[:B]
+    if sort:
+        order = jnp.argsort(w, axis=-1)
+        w = jnp.take_along_axis(w, order, axis=-1)
+        perm = (order[:, None, :] == jnp.arange(d)[None, :, None]
+                ).astype(v.dtype)
+        v = jnp.einsum('bde,bei->bdi', v, perm)
+    return (w.reshape(batch_shape + (d,)),
+            v.reshape(batch_shape + (d, d)))
