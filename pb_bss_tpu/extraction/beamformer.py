@@ -27,7 +27,7 @@ import numpy as np
 
 from ..ops.linalg import (
     condition_hermitian,
-    eigh_jacobi,
+    eigh,
     force_hermitian,
     gev_max_eigvec,
     stable_solve,
@@ -120,7 +120,7 @@ def get_power_spectral_density_matrix(
 def get_pca(target_psd_matrix, return_all_vecs=False):
     """All principal components / the dominant one
     (reference beamformer.py:163-194), via the batched Jacobi eigh."""
-    w, v = eigh_jacobi(jnp.asarray(target_psd_matrix))
+    w, v = eigh(jnp.asarray(target_psd_matrix))
     if return_all_vecs:
         return v, w
     return v[..., -1], w[..., -1]

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import Model, modelclass, force_hermitian, _unit_norm
-from ..ops.linalg import eigh_jacobi
+from ..ops.linalg import eigh
 from ..utils import is_broadcast_compatible
 
 __all__ = [
@@ -94,18 +94,10 @@ class ComplexAngularCentralGaussian(Model):
         else:
             assert covariance_norm in ['eigenvalue', False], covariance_norm
 
-        # On TPU at f32/c64 the single-kernel Pallas Jacobi is ~3.4x
-        # faster than the HLO-level path (see ops/pallas_eigh.py);
-        # CPU/x64 keeps the XLA lowering.
-        if (jax.default_backend() != 'cpu'
-                and covariance.dtype in (jnp.complex64, jnp.float32)
-                and covariance.shape[-1] <= 16):
-            from ..ops.pallas_eigh import eigh_jacobi_pallas
-            eigenvals, eigenvecs = eigh_jacobi_pallas(
-                covariance, sweeps=eigh_sweeps)
-        else:
-            eigenvals, eigenvecs = eigh_jacobi(
-                covariance, sweeps=eigh_sweeps)
+        # On TPU at f32/c64 this routes to the single-kernel Pallas
+        # Jacobi (~3.4x faster than the HLO-level path, see
+        # ops/pallas_eigh.py); CPU/x64 keeps the XLA lowering.
+        eigenvals, eigenvecs = eigh(covariance, sweeps=eigh_sweeps)
         eigenvals = eigenvals.real
         if covariance_norm == 'eigenvalue':
             # Scale of the eigenvalues does not matter for the density.

@@ -33,7 +33,7 @@ from jax import lax
 
 from .base import Model, modelclass
 from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
-from ..ops.linalg import eigh_jacobi, force_hermitian
+from ..ops.linalg import eigh, force_hermitian
 from ..utils import is_broadcast_compatible
 
 __all__ = [
@@ -284,7 +284,7 @@ class ComplexBinghamTrainer:
         covariance = covariance / jnp.maximum(
             denominator, _tiny(y))
         covariance = force_hermitian(covariance)
-        scatter_eigenvalues, eigenvecs = eigh_jacobi(covariance)
+        scatter_eigenvalues, eigenvecs = eigh(covariance)
         scatter_eigenvalues = jnp.maximum(scatter_eigenvalues, 0.0)
         eigenvalues = find_eigenvalues(
             scatter_eigenvalues,

@@ -28,7 +28,7 @@ from jax.scipy.special import gammaln
 
 from .base import Model, modelclass
 from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
-from ..ops.linalg import eigh_jacobi
+from ..ops.linalg import eigh
 from ..utils import is_broadcast_compatible
 
 __all__ = ['ComplexWatson', 'ComplexWatsonTrainer', 'normalize_observation']
@@ -217,7 +217,7 @@ class ComplexWatsonTrainer:
                 '...n->...', saliency)[..., None, None]
         covariance = covariance / jnp.maximum(
             denominator, _tiny(y))
-        eigenvalues, eigenvecs = eigh_jacobi(covariance)
+        eigenvalues, eigenvecs = eigh(covariance)
         mode = eigenvecs[..., -1]
         concentration = self.hypergeometric_ratio_inverse(
             eigenvalues[..., -1])

@@ -217,17 +217,43 @@ def eigh_jacobi(a, *, sweeps: Optional[int] = None, sort: bool = True):
     return w.reshape(batch_shape + (d,)), V.reshape(batch_shape + (d, d))
 
 
-def eigh(a, *, method='auto', sweeps=None):
-    """Batched Hermitian eigh; eigenvalues ascending.
+def _pallas_eligible(a):
+    """Route to the single-kernel Pallas Jacobi (ops/pallas_eigh.py)?
 
-    ``method='jacobi'`` uses :func:`eigh_jacobi` (default for D <= 16),
-    ``method='xla'`` uses :func:`jnp.linalg.eigh`.
+    Only on a non-CPU backend, for f32/c64, D <= 16, and a batch big
+    enough that padding to the kernel's batch tile is not pure waste.
+    """
+    if jax.default_backend() == 'cpu':
+        return False
+    if a.ndim < 3 or a.shape[-1] > 16:
+        return False
+    if a.dtype not in (jnp.dtype(jnp.complex64), jnp.dtype(jnp.float32)):
+        return False
+    batch = 1
+    for s in a.shape[:-2]:
+        batch *= s
+    return batch >= 64
+
+
+def eigh(a, *, method='auto', sweeps=None, sort=True):
+    """Batched Hermitian eigh; eigenvalues ascending (when ``sort``).
+
+    ``method='auto'`` picks the single-kernel Pallas Jacobi on TPU for
+    f32/c64 batches with D <= 16 (~3.4x faster than the HLO-level
+    Jacobi), :func:`eigh_jacobi` otherwise for D <= 16, and XLA's QDWH
+    ``eigh`` for larger matrices.
     """
     a = jnp.asarray(a)
     if method == 'auto':
-        method = 'jacobi' if a.shape[-1] <= 16 else 'xla'
+        if _pallas_eligible(a):
+            method = 'pallas'
+        else:
+            method = 'jacobi' if a.shape[-1] <= 16 else 'xla'
+    if method == 'pallas':
+        from .pallas_eigh import eigh_jacobi_pallas
+        return eigh_jacobi_pallas(a, sweeps=sweeps, sort=sort)
     if method == 'jacobi':
-        return eigh_jacobi(a, sweeps=sweeps)
+        return eigh_jacobi(a, sweeps=sweeps, sort=sort)
     elif method == 'xla':
         return jnp.linalg.eigh(a)
     raise ValueError(method)
@@ -327,7 +353,7 @@ def get_pca(target_psd_matrix, return_all_vecs=False):
     Returns (beamforming_vector (..., D), eigenvalue (...,)) or, with
     ``return_all_vecs``, all eigenvectors/eigenvalues ascending.
     """
-    w, v = eigh_jacobi(jnp.asarray(target_psd_matrix))
+    w, v = eigh(jnp.asarray(target_psd_matrix))
     if return_all_vecs:
         return v, w
     return v[..., -1], w[..., -1]
@@ -365,7 +391,7 @@ def gev_max_eigvec(target_psd_matrix, noise_psd_matrix, *,
     c = force_hermitian(c)
     # no sort: select the dominant eigenvector via a one-hot argmax
     # contraction (cheaper than the sorting permutation)
-    w, v = eigh_jacobi(c, sort=False)
+    w, v = eigh(c, sort=False)
     sel = (jnp.argmax(w, axis=-1)[..., None]
            == jnp.arange(w.shape[-1])).astype(v.dtype)
     u = jnp.einsum('...de,...e->...d', v, sel)

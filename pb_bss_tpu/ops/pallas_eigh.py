@@ -163,8 +163,11 @@ def eigh_jacobi_pallas(a, *, sweeps=None, sort=True, interpret=False,
     )(a_re, a_im)
 
     w = jnp.moveaxis(w, -1, 0)[:B]
-    v = (jnp.moveaxis(v_re, -1, 0)
-         + 1j * jnp.moveaxis(v_im, -1, 0))[:B]
+    if jnp.iscomplexobj(a):
+        v = (jnp.moveaxis(v_re, -1, 0)
+             + 1j * jnp.moveaxis(v_im, -1, 0))[:B]
+    else:
+        v = jnp.moveaxis(v_re, -1, 0)[:B]
     if sort:
         order = jnp.argsort(w, axis=-1)
         w = jnp.take_along_axis(w, order, axis=-1)
