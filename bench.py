@@ -184,55 +184,48 @@ def bench_jax(y):
 
 
 def bench_end_to_end():
-    """Full separation pipeline throughput (utterances/sec): STFT ->
-    20-iter cACGMM -> DHTV permutation alignment -> masks -> GEV
-    beamforming -> iSTFT — ONE fused device program per utterance
-    (only the waveforms cross the host boundary)."""
+    """Full separation throughput via the shipped ``separate()`` API:
+    STFT -> 20-iter cACGMM -> DHTV permutation alignment -> GEV+BAN
+    beamforming -> iSTFT, ONE fused device program per utterance.
+
+    Returns (e2e sec/utt incl. fetching the separated waveforms to the
+    host, compute-only sec/utt with a scalar fetch). Inputs are
+    pre-staged on device (standard throughput protocol; on the tunneled
+    dev backend host<->device moves are ~15 MB/s and would otherwise
+    swamp the measurement — a real deployment streams/batches I/O)."""
     import jax
     import jax.numpy as jnp
-    from pb_bss_tpu.utils import run_on_device
-    from pb_bss_tpu.models.cacgmm import CACGMMTrainer
-    from pb_bss_tpu.permutation_alignment import DHTVPermutationAlignment
-    from pb_bss_tpu.extraction.beamformer import (
-        apply_beamforming_vector,
-        get_gev_vector,
-        get_power_spectral_density_matrix,
-    )
-    from pb_bss_tpu.transform import istft, stft
+    from pb_bss_tpu.pipeline import separate
 
     rng = np.random.default_rng(1)
     num_samples = 38520  # ~4.8 s at 8 kHz
-    reps = 3
+    reps = 5
     observations = [
-        rng.standard_normal((D, num_samples)).astype(np.float32)
+        jnp.asarray(
+            rng.standard_normal((D, num_samples)).astype(np.float32))
         for _ in range(reps + 1)
     ]
-    pa = DHTVPermutationAlignment.from_stft_size(512)
+    fetch = jax.jit(lambda v: v + 0.0)
+    _ = np.asarray(fetch(sum(o.sum() for o in observations)))
 
-    def full_pipeline(observation):
-        Observation = stft(observation, 512, 128)
-        Y = jnp.einsum('dtf->ftd', Observation)
-        model = CACGMMTrainer().fit(
-            Y, num_classes=K, iterations=EM_ITERS,
-            key=jax.random.key(0))
-        affiliation = model.predict(Y)
-        masks = pa(jnp.einsum('fkt->kft', affiliation))
-        Y_fdt = jnp.einsum('dtf->fdt', Observation)
-        psds = get_power_spectral_density_matrix(
-            Y_fdt, jnp.einsum('kft->fkt', masks))
-        outs = []
-        for k in range(K):
-            phi_xx = psds[:, k]
-            phi_nn = psds.sum(1) - phi_xx
-            w = get_gev_vector(phi_xx, phi_nn)
-            outs.append(apply_beamforming_vector(w, Y_fdt))
-        return istft(jnp.stack(outs), 512, 128)
+    def run(o):
+        return separate(
+            o, num_classes=K, iterations=EM_ITERS, beamformer='gev+ban')
 
-    run_on_device(full_pipeline, observations[0])  # compile
+    out = np.asarray(run(observations[0]))  # compile + warm
+    assert out.shape == (K, num_samples), out.shape
     start = time.perf_counter()
     for observation in observations[1:]:
-        run_on_device(full_pipeline, observation)
-    return (time.perf_counter() - start) / reps  # sec / utterance
+        _ = np.asarray(run(observation))
+    e2e = (time.perf_counter() - start) / reps
+
+    g = jax.jit(lambda o: jnp.sum(jnp.abs(run(o))))
+    _ = np.asarray(fetch(g(observations[0])))
+    start = time.perf_counter()
+    acc = sum(g(o) for o in observations[1:])
+    _ = np.asarray(fetch(acc))
+    compute = (time.perf_counter() - start) / reps
+    return e2e, compute
 
 
 def main():
@@ -241,7 +234,7 @@ def main():
     y = _make_data()
     em_np, gev_np = bench_numpy(y)
     em_jax, gev_jax = bench_jax(y)
-    e2e_time = bench_end_to_end()
+    e2e_time, e2e_compute = bench_end_to_end()
 
     iters_per_sec = 1.0 / em_jax
     baseline_iters_per_sec = 1.0 / em_np
@@ -263,9 +256,11 @@ def main():
         f'{em_np * 1e3:.2f} ms/iter; gev(513x6): jax '
         f'{gev_jax * 1e3:.2f} ms vs numpy {gev_np * 1e3:.2f} ms; '
         f'pipeline speedup {pipeline_np / pipeline:.1f}x; '
-        f'e2e (stft+em{EM_ITERS}+DHTV+gev+istft, 4.8s utterance): '
-        f'{e2e_time * 1e3:.0f} ms/utt = {1 / e2e_time:.1f} utt/s '
-        f'({4.815 / e2e_time:.0f}x realtime)',
+        f'e2e separate() (stft+em{EM_ITERS}+DHTV+gev_ban+istft, 4.8s '
+        f'utterance): {e2e_time * 1e3:.0f} ms/utt '
+        f'({4.815 / e2e_time:.0f}x realtime) incl. waveform fetch, '
+        f'{e2e_compute * 1e3:.1f} ms/utt compute-only '
+        f'({4.815 / e2e_compute:.0f}x realtime)',
         file=sys.stderr,
     )
 
