@@ -206,14 +206,11 @@ def eigh_jacobi(a, *, sweeps: Optional[int] = None, sort: bool = True):
 
     w = jnp.diagonal(A, axis1=-2, axis2=-1).real
     if sort:
-        order = jnp.argsort(w, axis=-1)
-        w = jnp.take_along_axis(w, order, axis=-1)
-        # Column permutation as a one-hot einsum: TPU gathers on
-        # (B, D, D) lower to slow dynamic slices and would dominate
-        # the whole eigh (~70% of an EM iteration).
-        perm = (order[:, None, :] == jnp.arange(d)[None, :, None]
-                ).astype(V.dtype)  # perm[b, e, i] = order[b, i] == e
-        V = jnp.einsum('bde,bei->bdi', V, perm)
+        # Rank-based one-hot permutation: both TPU gathers on (B, D, D)
+        # and argsort itself lower to slow code; D^2 comparisons are
+        # trivial for D <= 16 (see pallas_eigh._sort_ascending).
+        from .pallas_eigh import _sort_ascending
+        w, V = _sort_ascending(w, V)
     return w.reshape(batch_shape + (d,)), V.reshape(batch_shape + (d, d))
 
 
