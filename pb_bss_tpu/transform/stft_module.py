@@ -70,9 +70,51 @@ def _biorthogonal_window(analysis_window, shift):
     return analysis_window / denominator
 
 
+def _frame(time_signal, size, shift, frames):
+    """(..., samples) -> (..., frames, size) overlapping frames.
+
+    When ``shift`` divides ``size`` the signal is reshaped into
+    contiguous ``shift``-chunks and each frame is a concatenation of
+    ``size/shift`` *static* chunk slices — TPU gathers with a (T, size)
+    index array lower to slow dynamic slices, static slices are free.
+    """
+    if size % shift == 0:
+        r = size // shift
+        n_chunks = frames + r - 1
+        chunks = time_signal[..., :n_chunks * shift].reshape(
+            time_signal.shape[:-1] + (n_chunks, shift))
+        return jnp.concatenate(
+            [chunks[..., i:i + frames, :] for i in range(r)], axis=-1)
+    starts = np.arange(frames) * shift
+    idx = starts[:, None] + np.arange(size)[None, :]  # (T, size)
+    return time_signal[..., idx]
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_weights(size, window):
+    """Windowed real-DFT analysis matrices (cos, -sin), (size, F)."""
+    w = _get_window(window, size)
+    angle = 2 * np.pi * np.outer(
+        np.arange(size), np.arange(size // 2 + 1)) / size
+    return (np.cos(angle) * w[:, None], -np.sin(angle) * w[:, None])
+
+
+@functools.lru_cache(maxsize=None)
+def _idft_weights(size, shift, window):
+    """Real-iDFT synthesis matrices (F, size) with the biorthogonal
+    synthesis window folded in: ``x = Xr @ Ar + Xi @ Ai``."""
+    synthesis = _biorthogonal_window(_get_window(window, size), shift)
+    f = np.arange(size // 2 + 1)
+    alpha = np.where((f == 0) | (f == size // 2), 1.0, 2.0) / size
+    angle = 2 * np.pi * np.outer(f, np.arange(size)) / size
+    return (np.cos(angle) * alpha[:, None] * synthesis[None, :],
+            -np.sin(angle) * alpha[:, None] * synthesis[None, :])
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=('size', 'shift', 'window', 'fading', 'pad'),
+    static_argnames=('size', 'shift', 'window', 'fading', 'pad',
+                     'method'),
 )
 def stft(
         time_signal,
@@ -82,6 +124,7 @@ def stft(
         window='blackman',
         fading: bool = True,
         pad: bool = True,
+        method: str = 'auto',
 ):
     """Short-time Fourier transform.
 
@@ -92,15 +135,22 @@ def stft(
         window: window name or callable size->array.
         fading: pad ``size - shift`` zeros on both ends.
         pad: zero-pad the end so the last partial frame is kept.
+        method: ``'fft'`` (XLA FFT), ``'matmul'`` (windowed DFT as two
+            MXU matmuls — much faster on TPU for size <= ~1024 where
+            the XLA FFT is latency-bound), or ``'auto'`` (matmul on
+            non-CPU f32 inputs, fft otherwise).
 
     Returns:
         (..., T, F) complex with F = size // 2 + 1.
     """
     time_signal = jnp.asarray(time_signal)
-    w = jnp.asarray(
-        _get_window(window, size),
-        jnp.result_type(time_signal.dtype, jnp.float32),
-    )
+    real_dtype = jnp.result_type(time_signal.dtype, jnp.float32)
+    if method == 'auto':
+        method = (
+            'matmul'
+            if (jax.default_backend() != 'cpu'
+                and real_dtype == jnp.float32 and size <= 2048)
+            else 'fft')
 
     if fading:
         pad_width = [(0, 0)] * (time_signal.ndim - 1) \
@@ -120,15 +170,50 @@ def stft(
             + [(0, needed - samples)]
         time_signal = jnp.pad(time_signal, pad_width)
 
-    starts = np.arange(frames) * shift
-    idx = starts[:, None] + np.arange(size)[None, :]  # (T, size)
-    framed = time_signal[..., idx]  # (..., T, size)
+    framed = _frame(time_signal, size, shift, frames)  # (..., T, size)
+    if method == 'matmul':
+        cr, ci = _dft_weights(size, window if isinstance(window, str)
+                              else window)  # hashable for the cache
+        cr = jnp.asarray(cr, real_dtype)
+        ci = jnp.asarray(ci, real_dtype)
+        yr = jnp.einsum('...tl,lf->...tf', framed, cr,
+                        precision=jax.lax.Precision.HIGHEST)
+        yi = jnp.einsum('...tl,lf->...tf', framed, ci,
+                        precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.complex(yr, yi)
+    w = jnp.asarray(_get_window(window, size), real_dtype)
     return jnp.fft.rfft(framed * w, n=size, axis=-1)
+
+
+def _overlap_add(framed, size, shift, frames):
+    """(..., T, size) -> (..., size + (T-1)*shift) overlap-add.
+
+    When ``shift`` divides ``size``, each frame is ``size/shift``
+    contiguous chunks and the accumulation is ``size/shift`` static
+    slice-adds — the index-array ``.at[].add`` scatter this replaces is
+    very slow on TPU.
+    """
+    length = size + (frames - 1) * shift
+    if size % shift == 0:
+        r = size // shift
+        n_chunks = frames + r - 1
+        sub = framed.reshape(framed.shape[:-1] + (r, shift))
+        acc = jnp.zeros(
+            framed.shape[:-2] + (n_chunks, shift), framed.dtype)
+        for i in range(r):
+            acc = acc.at[..., i:i + frames, :].add(sub[..., :, i, :])
+        return acc.reshape(framed.shape[:-2] + (length,))
+    out_shape = framed.shape[:-2] + (length,)
+    starts = np.arange(frames) * shift
+    idx = (starts[:, None] + np.arange(size)[None, :]).reshape(-1)
+    return jnp.zeros(out_shape, framed.dtype).at[..., idx].add(
+        framed.reshape(framed.shape[:-2] + (-1,)))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=('size', 'shift', 'window', 'fading', 'num_samples'),
+    static_argnames=('size', 'shift', 'window', 'fading', 'num_samples',
+                     'method'),
 )
 def istft(
         stft_signal,
@@ -138,11 +223,15 @@ def istft(
         window='blackman',
         fading: bool = True,
         num_samples: int = None,
+        method: str = 'auto',
 ):
     """Inverse STFT with bias-compensated overlap-add.
 
     Args:
         stft_signal: (..., T, F) complex.
+        method: ``'fft'``, ``'matmul'`` (synthesis-windowed real iDFT
+            as two MXU matmuls), or ``'auto'`` (matmul on non-CPU c64
+            inputs).
     Returns:
         (..., num_samples) real. When ``num_samples`` is given the
         output is cut/padded to exactly that length (after fading
@@ -150,22 +239,32 @@ def istft(
         the reference tests.
     """
     stft_signal = jnp.asarray(stft_signal)
-    analysis = _get_window(window, size)
-    synthesis = jnp.asarray(
-        _biorthogonal_window(analysis, shift), jnp.float32
-        if stft_signal.dtype == jnp.complex64 else jnp.float64)
-
+    if method == 'auto':
+        method = (
+            'matmul'
+            if (jax.default_backend() != 'cpu'
+                and stft_signal.dtype == jnp.complex64 and size <= 2048)
+            else 'fft')
     frames = stft_signal.shape[-2]
-    framed = jnp.fft.irfft(stft_signal, n=size, axis=-1) * synthesis
 
+    if method == 'matmul':
+        ar, ai = _idft_weights(size, shift, window)
+        ar = jnp.asarray(ar, jnp.float32)
+        ai = jnp.asarray(ai, jnp.float32)
+        framed = (
+            jnp.einsum('...tf,fl->...tl', stft_signal.real, ar,
+                       precision=jax.lax.Precision.HIGHEST)
+            + jnp.einsum('...tf,fl->...tl', stft_signal.imag, ai,
+                         precision=jax.lax.Precision.HIGHEST))
+    else:
+        analysis = _get_window(window, size)
+        synthesis = jnp.asarray(
+            _biorthogonal_window(analysis, shift), jnp.float32
+            if stft_signal.dtype == jnp.complex64 else jnp.float64)
+        framed = jnp.fft.irfft(stft_signal, n=size, axis=-1) * synthesis
+
+    time_signal = _overlap_add(framed, size, shift, frames)
     length = size + (frames - 1) * shift
-    # overlap-add via segment scatter: (..., T, size) -> (..., length)
-    out_shape = stft_signal.shape[:-2] + (length,)
-    starts = np.arange(frames) * shift
-    idx = (starts[:, None] + np.arange(size)[None, :]).reshape(-1)
-    time_signal = jnp.zeros(out_shape, framed.dtype).at[
-        ..., idx
-    ].add(framed.reshape(framed.shape[:-2] + (-1,)))
 
     if fading:
         time_signal = time_signal[

@@ -80,3 +80,34 @@ class TestSpectralCorrectness:
         Xb = np.asarray(stft(b, 512, 128))
         Xab = np.asarray(stft(a + 2 * b, 512, 128))
         assert_allclose(Xab, Xa + 2 * Xb, atol=1e-4)
+
+
+class TestMatmulDFT:
+    """The MXU-matmul DFT path (default on TPU) against the FFT path."""
+
+    def test_stft_matches_fft(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((3, 5000)).astype(np.float32)
+        a = np.asarray(stft(x, 512, 128, method='matmul'))
+        b = np.asarray(stft(x, 512, 128, method='fft'))
+        assert np.max(np.abs(a - b)) < 1e-3 * np.max(np.abs(b))
+
+    def test_istft_matches_fft(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 5000)).astype(np.float32)
+        S = stft(x, 512, 128)
+        a = np.asarray(istft(S, 512, 128, method='matmul',
+                             num_samples=5000))
+        b = np.asarray(istft(S, 512, 128, method='fft',
+                             num_samples=5000))
+        assert np.max(np.abs(a - b)) < 1e-5
+        assert np.max(np.abs(a - x)) < 1e-4
+
+    def test_non_divisible_shift_gather_path(self):
+        """size % shift != 0 exercises the gather/scatter fallback."""
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(4000).astype(np.float32)
+        S = stft(x, 384, 100, method='fft')
+        y = np.asarray(istft(S, 384, 100, method='fft',
+                             num_samples=4000))
+        assert np.max(np.abs(y - x)) < 1e-4
