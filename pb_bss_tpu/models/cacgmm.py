@@ -132,6 +132,61 @@ def _cacgmm_log_likelihood_jit(model, y):
     return jnp.sum(jax.scipy.special.logsumexp(log_pdf, axis=-2))
 
 
+def _fused_em_eligible(y, num_classes, saliency, source_activity_mask,
+                       aligner, weight_constant_axis, hermitize,
+                       covariance_norm):
+    """Route the fit to the single-kernel Pallas EM loop
+    (ops/pallas_em_loop.py)? Only on a non-CPU backend for c64
+    (F, D, T) observations with the default knobs the kernel
+    implements exactly."""
+    from ..ops.pallas_em_loop import choose_tile_f
+    return (
+        jax.default_backend() != 'cpu'
+        and y.ndim == 3
+        and y.dtype == jnp.dtype(jnp.complex64)
+        and y.shape[-2] <= 16
+        and saliency is None
+        and source_activity_mask is None
+        and aligner is None
+        and weight_constant_axis in ((-1,), -1)
+        and hermitize
+        and covariance_norm == 'eigenvalue'
+        # the whole time axis must fit in VMEM alongside the tile
+        and bool(choose_tile_f(
+            y.shape[-2], num_classes, -(-y.shape[-1] // 8) * 8))
+    )
+
+
+def _fit_fused(y, model, affiliation, quadratic_form, *, iterations,
+               eigenvalue_floor, affiliation_eps, eigh_sweeps):
+    """Whole-fit fast path: ONE Pallas kernel launch runs every EM
+    iteration with the observation tile resident in VMEM (see
+    ops/pallas_em_loop.py). Same trajectory semantics as the scan
+    path: ``iterations`` M-steps, E-step between them."""
+    from ..ops.pallas_em_loop import cacgmm_em_full
+
+    if model is not None:
+        affiliation, quadratic_form, _ = model._predict(
+            y, affiliation_eps=affiliation_eps)
+    D = y.shape[-2]
+    sweeps = eigh_sweeps if eigh_sweeps is not None else (
+        6 if D <= 8 else 8)
+    weight, eigenvalues, eigenvectors, _ = cacgmm_em_full(
+        y.real, y.imag, affiliation, quadratic_form,
+        iterations=iterations, sweeps=sweeps,
+        eigenvalue_floor=eigenvalue_floor,
+        affiliation_eps=affiliation_eps,
+        interpret=jax.default_backend() == 'cpu',
+    )
+    return CACGMM(
+        weight=weight[..., None],
+        cacg=ComplexAngularCentralGaussian(
+            covariance_eigenvectors=eigenvectors,
+            covariance_eigenvalues=eigenvalues,
+        ),
+    )
+
+
 def _m_step(y, quadratic_form, affiliation, saliency, *,
             hermitize, covariance_norm, eigenvalue_floor,
             weight_constant_axis, eigh_sweeps=None):
@@ -269,6 +324,7 @@ class CACGMMTrainer:
             eigenvalue_floor=1e-10,
             inline_permutation_aligner=None,
             use_pallas_em=False,
+            use_fused_em='auto',
             eigh_sweeps=None,
     ) -> CACGMM:
         """Fit a cACGMM with EM.
@@ -293,6 +349,12 @@ class CACGMMTrainer:
                 (pb_bss_tpu.ops.pallas_em, experimental); requires
                 (F, N, D) input without saliency/mask/aligner and
                 weight_constant_axis=(-1,).
+            use_fused_em: run the WHOLE EM loop as one Pallas kernel
+                (ops/pallas_em_loop.py, ~3x over the scan path on
+                TPU). ``'auto'`` (default) enables it on non-CPU
+                backends for c64 (F, N, D) inputs with default knobs;
+                ``True`` forces it (interpreter mode on CPU, slow —
+                for tests); ``False`` keeps the scan path.
             eigh_sweeps: Jacobi sweeps for the per-iteration batched
                 eigendecomposition (default: dtype-dependent machine
                 precision, 6 for f32). The EM is self-correcting;
@@ -359,6 +421,28 @@ class CACGMMTrainer:
 
         assert num_classes < 20, f'num_classes: {num_classes}, sure?'
         assert D < 35, f'Channels: {D}, sure?'
+
+        if use_fused_em == 'auto':
+            use_fused_em = not use_pallas_em and _fused_em_eligible(
+                y, num_classes, saliency, source_activity_mask,
+                inline_permutation_aligner, weight_constant_axis,
+                hermitize, covariance_norm)
+        if use_fused_em:
+            assert y.ndim == 3, (
+                'use_fused_em requires (F, N, D) observations', y.shape)
+            assert saliency is None and source_activity_mask is None
+            assert inline_permutation_aligner is None
+            assert weight_constant_axis in ((-1,), -1), \
+                weight_constant_axis
+            assert hermitize and covariance_norm == 'eigenvalue'
+            return _fit_fused(
+                y, model, affiliation, quadratic_form,
+                iterations=int(iterations),
+                eigenvalue_floor=float(eigenvalue_floor),
+                affiliation_eps=float(affiliation_eps),
+                eigh_sweeps=(
+                    None if eigh_sweeps is None else int(eigh_sweeps)),
+            )
 
         if use_pallas_em:
             assert y.ndim == 3, (

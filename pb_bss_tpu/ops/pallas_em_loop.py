@@ -1,0 +1,366 @@
+"""Pallas TPU kernel: the ENTIRE cACGMM EM loop in one kernel launch.
+
+The scan-based EM (models/cacgmm.py:_fit_em) already fuses each
+iteration into one XLA program, but every iteration still round-trips
+the (F, K, E, T) whitened observations, the (F, K, T) posteriors and
+the (F, K, D, D) scatter matrices through HBM and pays per-HLO
+dispatch inside the scan (~0.44 ms/iteration on top of the 0.27 ms
+Pallas eigh at the benchmark shape).
+
+This kernel removes all of that: frequency bins live in the lane
+dimension (layout (D, T, F_tile)), the observation tile is loaded into
+VMEM ONCE, and a `lax.fori_loop` runs every EM iteration — M-step
+scatter (built directly in Hermitian form from its upper triangle),
+cyclic Jacobi eigendecomposition (the ops/pallas_eigh.py recipe, here
+on (D, D, K, F_tile) scratch), eigenvalue flooring, and the E-step
+posterior — without touching HBM. Total HBM traffic for a 20-iteration
+fit is one read of y plus one write of the results.
+
+Numerics replicate the XLA path exactly (same formulas, same guard
+ladder): quadratic-form floor at tiny (E-step) / 10*tiny (M-step
+weights), scatter denominator floor, eigenvalue max-normalization +
+floor (ComplexAngularCentralGaussian.from_covariance semantics,
+reference pb_bss/distribution/complex_angular_central_gaussian.py:
+81-132), linear-domain weight multiplication with max-shift softmax
+and affiliation_eps clipping (reference mixture_model_utils.py:7-55),
+time-constant mixture weights (weight_constant_axis=(-1,), reference
+mixture_model_utils.py:133-203). Eigenpairs are left unsorted inside
+the loop (the density is invariant under joint (eigenvalue,
+eigenvector) permutations); the final model is sorted ascending
+outside the kernel for user-facing parity with numpy conventions.
+
+Parity with the scan path is tested in
+tests/test_ops/test_pallas_em_loop.py (interpret mode on CPU, compiled
+on TPU).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_eigh import _sort_ascending
+
+__all__ = ['cacgmm_em_full', 'choose_tile_f']
+
+_TINY = float(np.finfo(np.float32).tiny)
+
+
+def _jacobi_rounds(ar, ai, vr, vi, *, d, sweeps, tiny):
+    """Cyclic Jacobi on Hermitian matrices in (D, D, ...) scratch.
+
+    Same rotation algebra as ops/pallas_eigh.py:_eigh_kernel; here the
+    trailing dims are (K, F_tile) instead of a flat batch.
+    """
+    for _ in range(sweeps):
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                apq_r = ar[p, q]
+                apq_i = ai[p, q]
+                absa = jnp.sqrt(apq_r * apq_r + apq_i * apq_i)
+                app = ar[p, p]
+                aqq = ar[q, q]
+                safe = jnp.maximum(absa, tiny)
+                tau = (aqq - app) / (2 * safe)
+                t = jnp.where(
+                    tau == 0,
+                    jnp.ones_like(tau),
+                    jnp.sign(tau)
+                    / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau)),
+                )
+                c = lax.rsqrt(1 + t * t)
+                sr = t * c
+                s_r = sr * apq_r / safe
+                s_i = sr * apq_i / safe
+                active = absa > 0
+                c = jnp.where(active, c, 1.0)
+                s_r = jnp.where(active, s_r, 0.0)
+                s_i = jnp.where(active, s_i, 0.0)
+
+                rp_r, rp_i = ar[p], ai[p]
+                rq_r, rq_i = ar[q], ai[q]
+                ar[p] = c * rp_r - (s_r * rq_r - s_i * rq_i)
+                ai[p] = c * rp_i - (s_r * rq_i + s_i * rq_r)
+                ar[q] = (s_r * rp_r + s_i * rp_i) + c * rq_r
+                ai[q] = (s_r * rp_i - s_i * rp_r) + c * rq_i
+
+                cp_r, cp_i = ar[:, p], ai[:, p]
+                cq_r, cq_i = ar[:, q], ai[:, q]
+                ar[:, p] = c * cp_r - (s_r * cq_r + s_i * cq_i)
+                ai[:, p] = c * cp_i - (s_r * cq_i - s_i * cq_r)
+                ar[:, q] = (s_r * cp_r - s_i * cp_i) + c * cq_r
+                ai[:, q] = (s_r * cp_i + s_i * cp_r) + c * cq_i
+
+                vp_r, vp_i = vr[:, p], vi[:, p]
+                vq_r, vq_i = vr[:, q], vi[:, q]
+                vr[:, p] = c * vp_r - (s_r * vq_r + s_i * vq_i)
+                vi[:, p] = c * vp_i - (s_r * vq_i - s_i * vq_r)
+                vr[:, q] = (s_r * vp_r - s_i * vp_i) + c * vq_r
+                vi[:, q] = (s_r * vp_i + s_i * vp_r) + c * vq_i
+
+
+def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
+                    aff_ref, vre_ref, vim_ref, eig_ref, weight_ref,
+                    qf_ref, ar, ai,
+                    *, d, k, iterations, sweeps, t_real,
+                    eigenvalue_floor, affiliation_eps, tiny):
+    """One frequency tile: all EM iterations with y resident in VMEM.
+
+    Blocks (lane dim = frequency tile F'):
+        y: (D, T, F') real/imag planes; aff0/qf0: (K, T, F').
+    Outputs: aff (K, T, F'), V (D, D, K, F') planes (row, eigvec
+    column, class), eig (D, K, F'), weight (K, F').
+    Scratch: qf (K, T, F'), Jacobi working planes ar/ai (D, D, K, F').
+    """
+    t_pad = y_re_ref.shape[1]
+    # Valid-frame mask: padded time steps must not contribute to the
+    # weight / scatter statistics.
+    if t_pad == t_real:
+        mask = None
+    else:
+        mask = (lax.broadcasted_iota(
+            jnp.int32, (t_pad, y_re_ref.shape[2]), 0) < t_real
+        ).astype(jnp.float32)
+
+    aff_ref[...] = (aff0_ref[...] if mask is None
+                    else aff0_ref[...] * mask[None])
+    qf_ref[...] = qf0_ref[...]
+
+    def body(_, carry):
+        # ---- M-step -----------------------------------------------
+        # weight = mean_t affiliation; scatter S_k = D/denom *
+        # sum_t (a_kt/q_kt) y_t y_t^H, built Hermitian from its upper
+        # triangle (exactly Hermitian, so force_hermitian is implicit).
+        for kk in range(k):
+            a = aff_ref[kk]  # (T, F')
+            wsum = jnp.sum(a, axis=0)  # (F',)
+            weight_ref[kk] = wsum / t_real
+            w = a / jnp.maximum(qf_ref[kk], 10 * tiny)
+            scale = d / jnp.maximum(wsum, tiny)  # (F',)
+            for dd in range(d):
+                awr = w * y_re_ref[dd]
+                awi = w * y_im_ref[dd]
+                for ee in range(dd, d):
+                    # S[d, e] = sum_t w * y_d * conj(y_e)
+                    s_re = jnp.sum(
+                        awr * y_re_ref[ee] + awi * y_im_ref[ee],
+                        axis=0) * scale
+                    ar[dd, ee, kk] = s_re
+                    if ee == dd:
+                        ai[dd, dd, kk] = jnp.zeros_like(s_re)
+                    else:
+                        s_im = jnp.sum(
+                            awi * y_re_ref[ee] - awr * y_im_ref[ee],
+                            axis=0) * scale
+                        ar[ee, dd, kk] = s_re
+                        ai[dd, ee, kk] = s_im
+                        ai[ee, dd, kk] = -s_im
+
+        # ---- eigendecomposition (in-kernel Jacobi) ----------------
+        row = lax.broadcasted_iota(jnp.int32, ar.shape, 0)
+        col = lax.broadcasted_iota(jnp.int32, ar.shape, 1)
+        vre_ref[...] = jnp.where(row == col, 1.0, 0.0)
+        vim_ref[...] = jnp.zeros(ar.shape, jnp.float32)
+        _jacobi_rounds(ar, ai, vre_ref, vim_ref,
+                       d=d, sweeps=sweeps, tiny=tiny)
+
+        # eigenvalue normalization + floor
+        # (from_covariance 'eigenvalue' semantics)
+        lam = [ar[dd, dd] for dd in range(d)]  # each (K, F')
+        lam_max = lam[0]
+        for dd in range(1, d):
+            lam_max = jnp.maximum(lam_max, lam[dd])
+        lam_max = jnp.maximum(lam_max, tiny)
+        inv = []
+        logdet = None
+        for dd in range(d):
+            l = jnp.maximum(lam[dd] / lam_max, eigenvalue_floor)
+            eig_ref[dd] = l
+            inv.append(1.0 / l)
+            logdet = jnp.log(l) if logdet is None else logdet + jnp.log(l)
+
+        # ---- E-step ------------------------------------------------
+        # z = V^H y per class; quadratic form; max-shifted softmax with
+        # linear-domain weights; eps clip.
+        log_pdf = []
+        for kk in range(k):
+            qf_acc = None
+            for ee in range(d):
+                zr = None
+                zi = None
+                for dd in range(d):
+                    v_r = vre_ref[dd, ee, kk]  # (F',)
+                    v_i = vim_ref[dd, ee, kk]
+                    y_r = y_re_ref[dd]  # (T, F')
+                    y_i = y_im_ref[dd]
+                    zr_term = v_r * y_r + v_i * y_i
+                    zi_term = v_r * y_i - v_i * y_r
+                    zr = zr_term if zr is None else zr + zr_term
+                    zi = zi_term if zi is None else zi + zi_term
+                term = inv[ee][kk] * (zr * zr + zi * zi)
+                qf_acc = term if qf_acc is None else qf_acc + term
+            qf_new = jnp.maximum(qf_acc, tiny)
+            qf_ref[kk] = qf_new
+            log_pdf.append(-d * jnp.log(qf_new) - logdet[kk])
+
+        max_k = log_pdf[0]
+        for kk in range(1, k):
+            max_k = jnp.maximum(max_k, log_pdf[kk])
+        num = [jnp.exp(log_pdf[kk] - max_k) * weight_ref[kk]
+               for kk in range(k)]
+        den = num[0]
+        for kk in range(1, k):
+            den = den + num[kk]
+        den = jnp.maximum(den, tiny)
+        for kk in range(k):
+            a = num[kk] / den
+            if affiliation_eps:
+                a = jnp.clip(a, affiliation_eps, 1 - affiliation_eps)
+            aff_ref[kk] = a if mask is None else a * mask
+        return carry
+
+    lax.fori_loop(0, iterations, body, 0)
+
+
+def choose_tile_f(d, k, t_pad, *, vmem_budget=12 * 2 ** 20):
+    """Feasible frequency-tile widths (possibly empty for very long
+    signals — then the caller must fall back to the scan path).
+    Lane-dim padding dominates the wasted compute (the kernel is VPU
+    bound), so the wrapper prefers the candidate minimizing padded F,
+    tie-broken toward wider tiles."""
+    per_lane = 4 * (2 * d * t_pad + 3 * k * t_pad + 4 * d * d * k)
+    return [tf for tf in (512, 256, 128)
+            if tf * per_lane <= vmem_budget]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('iterations', 'sweeps', 'eigenvalue_floor',
+                     'affiliation_eps', 'tile_f', 'interpret'))
+def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
+                   iterations, sweeps=6, eigenvalue_floor=1e-10,
+                   affiliation_eps=1e-10, tile_f=None, interpret=False):
+    """Run a full cACGMM EM fit as ONE Pallas kernel launch.
+
+    Semantics: ``iterations`` M-steps starting from the given
+    affiliations/quadratic forms (the reference's array-init path,
+    pb_bss/distribution/cacgmm.py:252-278), with an E-step after each
+    M-step — so the returned affiliation/quadratic form correspond to a
+    final E-step under the returned model (what ``fit_predict`` needs).
+
+    Args:
+        y_re / y_im: (F, D, T) observation planes, unit-norm, time-last.
+        affiliation: (F, K, T) initial posteriors.
+        quadratic_form: (F, K, T) initial quadratic forms (ones for a
+            fresh fit).
+    Returns:
+        (weight (F, K), eigenvalues (F, K, D), eigenvectors
+        (F, K, D, D) complex64, affiliation (F, K, T));
+        eigenpairs sorted ascending.
+    """
+    F, D, T = y_re.shape
+    K = affiliation.shape[1]
+
+    t_pad = -(-T // 8) * 8
+    if tile_f is None:
+        candidates = choose_tile_f(D, K, t_pad)
+        if not candidates:
+            raise ValueError(
+                f'signal too long for the fused EM kernel '
+                f'(T={T}, D={D}, K={K} exceeds the VMEM budget); '
+                f'use the scan path')
+        f_pads = [-(-F // tf) * tf for tf in candidates]
+        best = min(zip(f_pads, [-tf for tf in candidates]))
+        tile_f = -best[1]
+    f_pad = -(-F // tile_f) * tile_f
+
+    def stage(x):
+        # (F, C, T) -> (C, t_pad, f_pad) float32
+        x = jnp.transpose(x.astype(jnp.float32), (1, 2, 0))
+        return jnp.pad(x, ((0, 0), (0, t_pad - T), (0, f_pad - F)))
+
+    y_re_s = stage(y_re)
+    y_im_s = stage(y_im)
+    aff_s = stage(affiliation)
+    # pad quadratic form with ones (it sits in denominators)
+    qf_s = jnp.pad(
+        jnp.transpose(quadratic_form.astype(jnp.float32), (1, 2, 0)),
+        ((0, 0), (0, t_pad - T), (0, f_pad - F)), constant_values=1.0)
+
+    kernel = functools.partial(
+        _em_loop_kernel, d=D, k=K, iterations=iterations,
+        sweeps=sweeps, t_real=T,
+        eigenvalue_floor=float(eigenvalue_floor),
+        affiliation_eps=float(affiliation_eps), tiny=_TINY)
+
+    grid = (f_pad // tile_f,)
+    aff, v_re, v_im, eig, weight = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
+            pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
+            pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
+            pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
+            pl.BlockSpec((D, D, K, tile_f), lambda i: (0, 0, 0, i)),
+            pl.BlockSpec((D, D, K, tile_f), lambda i: (0, 0, 0, i)),
+            pl.BlockSpec((D, K, tile_f), lambda i: (0, 0, i)),
+            pl.BlockSpec((K, tile_f), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, t_pad, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((D, D, K, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((D, D, K, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((D, K, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((K, f_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, t_pad, tile_f), jnp.float32),
+            pltpu.VMEM((D, D, K, tile_f), jnp.float32),
+            pltpu.VMEM((D, D, K, tile_f), jnp.float32),
+        ],
+        interpret=interpret,
+    )(y_re_s, y_im_s, aff_s, qf_s)
+
+    weight = jnp.transpose(weight)[:F]  # (F, K)
+    eigenvalues = jnp.transpose(eig, (2, 1, 0))[:F]  # (F, K, D)
+    vectors = (jnp.transpose(v_re, (3, 2, 0, 1))
+               + 1j * jnp.transpose(v_im, (3, 2, 0, 1)))[:F]
+    eigenvalues, vectors = _sort_ascending(eigenvalues, vectors)
+    affiliation = jnp.transpose(aff, (2, 0, 1))[:F, :, :T]
+    return weight, eigenvalues, vectors, affiliation
+
+
+def cacgmm_em_full_reference(y_re, y_im, affiliation, quadratic_form, *,
+                             iterations, sweeps=6,
+                             eigenvalue_floor=1e-10,
+                             affiliation_eps=1e-10):
+    """XLA reference of the same loop (parity tests): the scan-EM path
+    restated with one trailing E-step, NumPy-convention sorting."""
+    from ..models.cacgmm import CACGMM, _m_step
+    from ..models.complex_angular_central_gaussian import (
+        ComplexAngularCentralGaussian,
+    )
+
+    y = y_re.astype(jnp.float32) + 1j * y_im.astype(jnp.float32)
+    model = None
+    for _ in range(iterations):
+        model = _m_step(
+            y, quadratic_form, affiliation, None,
+            hermitize=True, covariance_norm='eigenvalue',
+            eigenvalue_floor=eigenvalue_floor,
+            weight_constant_axis=(-1,), eigh_sweeps=sweeps)
+        affiliation, quadratic_form, _ = model._predict(
+            y, affiliation_eps=affiliation_eps)
+    return (model.weight[..., 0],
+            model.cacg.covariance_eigenvalues,
+            model.cacg.covariance_eigenvectors,
+            affiliation)
