@@ -126,6 +126,15 @@ def _cacgmm_predict_jit(model, y, source_activity_mask=None):
 
 
 @jax.jit
+def _predict_time_last_jit(model, y, source_activity_mask=None):
+    """Final E-step on already-normalized time-last observations
+    (predict semantics: affiliation_eps=0)."""
+    affiliation, quadratic_form, _ = model._predict(
+        y, source_activity_mask=source_activity_mask)
+    return affiliation, quadratic_form
+
+
+@jax.jit
 def _cacgmm_log_likelihood_jit(model, y):
     y = normalize_observation(y)
     _, _, log_pdf = model._predict(y)
@@ -158,11 +167,14 @@ def _fused_em_eligible(y, num_classes, saliency, source_activity_mask,
 
 
 def _fit_fused(y, model, affiliation, quadratic_form, *, iterations,
-               eigenvalue_floor, affiliation_eps, eigh_sweeps):
+               eigenvalue_floor, affiliation_eps, eigh_sweeps,
+               return_affiliation=False):
     """Whole-fit fast path: ONE Pallas kernel launch runs every EM
     iteration with the observation tile resident in VMEM (see
     ops/pallas_em_loop.py). Same trajectory semantics as the scan
-    path: ``iterations`` M-steps, E-step between them."""
+    path: ``iterations`` M-steps, E-step between them; the kernel's
+    final (unclipped) E-step equals ``model.predict(y)``, so
+    ``fit_predict`` gets its affiliations for free."""
     from ..ops.pallas_em_loop import cacgmm_em_full
 
     if model is not None:
@@ -171,20 +183,23 @@ def _fit_fused(y, model, affiliation, quadratic_form, *, iterations,
     D = y.shape[-2]
     sweeps = eigh_sweeps if eigh_sweeps is not None else (
         6 if D <= 8 else 8)
-    weight, eigenvalues, eigenvectors, _ = cacgmm_em_full(
+    weight, eigenvalues, eigenvectors, affiliation = cacgmm_em_full(
         y.real, y.imag, affiliation, quadratic_form,
         iterations=iterations, sweeps=sweeps,
         eigenvalue_floor=eigenvalue_floor,
         affiliation_eps=affiliation_eps,
         interpret=jax.default_backend() == 'cpu',
     )
-    return CACGMM(
+    fitted = CACGMM(
         weight=weight[..., None],
         cacg=ComplexAngularCentralGaussian(
             covariance_eigenvectors=eigenvectors,
             covariance_eigenvalues=eigenvalues,
         ),
     )
+    if return_affiliation:
+        return fitted, affiliation
+    return fitted
 
 
 def _m_step(y, quadratic_form, affiliation, saliency, *,
@@ -326,6 +341,7 @@ class CACGMMTrainer:
             use_pallas_em=False,
             use_fused_em='auto',
             eigh_sweeps=None,
+            _return_affiliation=False,
     ) -> CACGMM:
         """Fit a cACGMM with EM.
 
@@ -442,6 +458,7 @@ class CACGMMTrainer:
                 affiliation_eps=float(affiliation_eps),
                 eigh_sweeps=(
                     None if eigh_sweeps is None else int(eigh_sweeps)),
+                return_affiliation=_return_affiliation,
             )
 
         if use_pallas_em:
@@ -457,7 +474,7 @@ class CACGMMTrainer:
                 affiliation_eps)
             weight_constant_axis = (-1,)
 
-        return _fit_em(
+        fitted = _fit_em(
             y, model, affiliation, quadratic_form, saliency,
             source_activity_mask,
             iterations=int(iterations),
@@ -471,6 +488,11 @@ class CACGMMTrainer:
             use_pallas_em=bool(use_pallas_em),
             eigh_sweeps=None if eigh_sweeps is None else int(eigh_sweeps),
         )
+        if _return_affiliation:
+            affiliation, _ = _predict_time_last_jit(
+                fitted, y, source_activity_mask)
+            return fitted, affiliation
+        return fitted
 
     def fit_predict(
             self,
@@ -488,9 +510,21 @@ class CACGMMTrainer:
             affiliation_eps=1e-10,
             eigenvalue_floor=1e-10,
             inline_permutation_aligner=None,
+            use_pallas_em=False,
+            use_fused_em='auto',
+            eigh_sweeps=None,
     ):
-        """Fit, then return the posterior affiliations for ``y``."""
-        model = self.fit(
+        """Fit, then return the posterior affiliations for ``y``.
+
+        On the fused-kernel path (``use_fused_em``, auto on TPU) the
+        affiliations come from the kernel's final E-step for free — no
+        separate predict pass over the observations. They equal
+        ``fit(...).predict(y)`` mathematically; in f32 the two
+        evaluations of the ill-conditioned whitening ``z = V^H y``
+        (catastrophic cancellation along small-eigenvalue directions)
+        can differ visibly in ambiguous T-F bins — quality-equivalent
+        (measured), not bit-equal."""
+        _, affiliation = self.fit(
             y=y,
             initialization=initialization,
             num_classes=num_classes,
@@ -504,5 +538,14 @@ class CACGMMTrainer:
             affiliation_eps=affiliation_eps,
             eigenvalue_floor=eigenvalue_floor,
             inline_permutation_aligner=inline_permutation_aligner,
+            use_pallas_em=use_pallas_em,
+            use_fused_em=use_fused_em,
+            eigh_sweeps=eigh_sweeps,
+            _return_affiliation=True,
         )
-        return model.predict(y)
+        return affiliation
+
+    def fit_predict_model(self, *args, **kwargs):
+        """Like :meth:`fit_predict` but returns ``(model,
+        affiliation)`` — what a pipeline that also beamforms needs."""
+        return self.fit(*args, _return_affiliation=True, **kwargs)

@@ -131,7 +131,7 @@ def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
                     else aff0_ref[...] * mask[None])
     qf_ref[...] = qf0_ref[...]
 
-    def body(_, carry):
+    def body(i, carry):
         # ---- M-step -----------------------------------------------
         # weight = mean_t affiliation; scatter S_k = D/denom *
         # sum_t (a_kt/q_kt) y_t y_t^H, built Hermitian from its upper
@@ -217,10 +217,16 @@ def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
         for kk in range(1, k):
             den = den + num[kk]
         den = jnp.maximum(den, tiny)
+        # in-loop E-steps clip with affiliation_eps (feeding the next
+        # M-step, scan-path semantics); the FINAL E-step is unclipped
+        # so the returned affiliations equal model.predict() exactly
+        # (predict uses affiliation_eps=0).
+        eps = jnp.where(i == iterations - 1, 0.0,
+                        jnp.float32(affiliation_eps))
         for kk in range(k):
             a = num[kk] / den
             if affiliation_eps:
-                a = jnp.clip(a, affiliation_eps, 1 - affiliation_eps)
+                a = jnp.clip(a, eps, 1 - eps)
             aff_ref[kk] = a if mask is None else a * mask
         return carry
 
@@ -250,8 +256,9 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
     Semantics: ``iterations`` M-steps starting from the given
     affiliations/quadratic forms (the reference's array-init path,
     pb_bss/distribution/cacgmm.py:252-278), with an E-step after each
-    M-step — so the returned affiliation/quadratic form correspond to a
-    final E-step under the returned model (what ``fit_predict`` needs).
+    M-step. The final E-step is computed with ``affiliation_eps=0``,
+    so the returned affiliations equal ``model.predict(y)`` on the
+    returned model exactly (what ``fit_predict`` needs).
 
     Args:
         y_re / y_im: (F, D, T) observation planes, unit-norm, time-last.
@@ -352,14 +359,15 @@ def cacgmm_em_full_reference(y_re, y_im, affiliation, quadratic_form, *,
 
     y = y_re.astype(jnp.float32) + 1j * y_im.astype(jnp.float32)
     model = None
-    for _ in range(iterations):
+    for i in range(iterations):
         model = _m_step(
             y, quadratic_form, affiliation, None,
             hermitize=True, covariance_norm='eigenvalue',
             eigenvalue_floor=eigenvalue_floor,
             weight_constant_axis=(-1,), eigh_sweeps=sweeps)
         affiliation, quadratic_form, _ = model._predict(
-            y, affiliation_eps=affiliation_eps)
+            y, affiliation_eps=(
+                0. if i == iterations - 1 else affiliation_eps))
     return (model.weight[..., 0],
             model.cacg.covariance_eigenvalues,
             model.cacg.covariance_eigenvectors,

@@ -72,10 +72,11 @@ def separate(
     Observation = stft(observation, stft_size, stft_shift)  # (D, T, F)
     Y = jnp.einsum('dtf->ftd', Observation)
 
-    model = CACGMMTrainer().fit(
+    # one call: on the fused-kernel path (auto on TPU) the
+    # affiliations come from the kernel's final E-step for free
+    _, affiliation = CACGMMTrainer().fit_predict_model(
         Y, num_classes=num_classes, iterations=iterations, key=key,
-        eigh_sweeps=eigh_sweeps)
-    affiliation = model.predict(Y)  # (F, K, T)
+        eigh_sweeps=eigh_sweeps)  # (F, K, T)
 
     pa = DHTVPermutationAlignment.from_stft_size(stft_size)
     masks = pa(jnp.einsum('fkt->kft', affiliation))  # (K, F, T)

@@ -91,6 +91,27 @@ def test_trainer_fused_resume_from_model():
         np.asarray(m_scan.cacg.covariance_eigenvalues), atol=1e-4)
 
 
+def test_fit_predict_matches_fit_then_predict():
+    """The kernel's final (unclipped) E-step must equal
+    model.predict() on the returned model exactly."""
+    rng = np.random.default_rng(4)
+    F, T, D, K = 11, 40, 3, 2
+    y = (rng.standard_normal((F, T, D))
+         + 1j * rng.standard_normal((F, T, D))).astype(np.complex64)
+    trainer = CACGMMTrainer()
+    aff_joint = trainer.fit_predict(
+        jnp.asarray(y), num_classes=K, iterations=3, use_fused_em=True)
+    model = trainer.fit(
+        jnp.asarray(y), num_classes=K, iterations=3, use_fused_em=True)
+    aff_sep = model.predict(jnp.asarray(y))
+    assert_allclose(
+        np.asarray(aff_joint), np.asarray(aff_sep), atol=1e-5)
+    # and the scan path of fit_predict still works
+    aff_scan = trainer.fit_predict(
+        jnp.asarray(y), num_classes=K, iterations=3, use_fused_em=False)
+    assert aff_scan.shape == aff_joint.shape
+
+
 def test_auto_gate_is_off_on_cpu():
     rng = np.random.default_rng(3)
     F, T, D, K = 7, 24, 3, 2
