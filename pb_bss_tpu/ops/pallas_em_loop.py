@@ -233,13 +233,23 @@ def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
     lax.fori_loop(0, iterations, body, 0)
 
 
-def choose_tile_f(d, k, t_pad, *, vmem_budget=12 * 2 ** 20):
+def choose_tile_f(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
     """Feasible frequency-tile widths (possibly empty for very long
     signals — then the caller must fall back to the scan path).
     Lane-dim padding dominates the wasted compute (the kernel is VPU
     bound), so the wrapper prefers the candidate minimizing padded F,
-    tie-broken toward wider tiles."""
-    per_lane = 4 * (2 * d * t_pad + 3 * k * t_pad + 4 * d * d * k)
+    tie-broken toward wider tiles.
+
+    VMEM accounting: Pallas DOUBLE-BUFFERS input and output blocks
+    across grid steps (measured: tile_f=256 at the benchmark shape
+    wants 17.2 MB against the 16 MB scoped limit), so blocks count
+    twice; scratch counts once.
+    """
+    per_lane = 4 * (
+        2 * (2 * d * t_pad + 2 * k * t_pad)        # in blocks, 2 bufs
+        + 2 * (k * t_pad + 2 * d * d * k + d * k + k)  # out blocks
+        + (k * t_pad + 2 * d * d * k)              # scratch
+    )
     return [tf for tf in (512, 256, 128)
             if tf * per_lane <= vmem_budget]
 
