@@ -90,9 +90,18 @@ class CWMMTrainer:
             weight_constant_axis=(-1,),
             affiliation_eps=0,
             inline_permutation_aligner=None,
+            use_fused_em='auto',
+            _return_affiliation=False,
     ) -> CWMM:
         """EM for CWMMs with any number of independent dimensions
-        (reference cwmm.py:76-150)."""
+        (reference cwmm.py:76-150).
+
+        ``use_fused_em``: run the whole loop as one Pallas kernel
+        (ops/pallas_cwmm_loop.py). ``'auto'`` enables it on non-CPU
+        backends for c64 (F, N, D) inputs with default knobs; the
+        concentration inverse then uses a uniform-grid linear table
+        (~1e-3 relative vs the scan path's log-spaced table —
+        quality-equivalent)."""
         assert xor(initialization is None, num_classes is None), (
             'Incompatible input combination. '
             'Exactly one of the two inputs has to be None: '
@@ -115,9 +124,6 @@ class CWMMTrainer:
                 '...kn->...n', initialization)[..., None, :]
         initialization = jnp.asarray(initialization)
 
-        if saliency is None:
-            saliency = jnp.ones_like(initialization[..., 0, :])
-
         if self.dimension is None:
             self.dimension = y.shape[-1]
         else:
@@ -130,17 +136,51 @@ class CWMMTrainer:
             weight_constant_axis = tuple(weight_constant_axis)
         assert affiliation_eps == 0, affiliation_eps
 
+        if use_fused_em == 'auto':
+            from .cacgmm import _fused_em_eligible
+            num_k = initialization.shape[-2]
+            use_fused_em = _fused_em_eligible(
+                jnp.swapaxes(y, -2, -1), num_k, saliency, None, None,
+                weight_constant_axis, True, 'eigenvalue')
+        if use_fused_em:
+            assert y.ndim == 3 and saliency is None
+            assert inline_permutation_aligner is None
+            assert weight_constant_axis in ((-1,), -1)
+            from ..ops.pallas_cwmm_loop import cwmm_em_full
+            y_dt = jnp.swapaxes(y, -2, -1)  # (F, D, T)
+            weight, mode, concentration, affiliation = cwmm_em_full(
+                y_dt.real, y_dt.imag,
+                jnp.asarray(initialization, jnp.float32),
+                iterations=int(iterations),
+                max_concentration=float(self.max_concentration),
+                interpret=jax.default_backend() == 'cpu',
+            )
+            model = CWMM(
+                weight=weight[..., None],
+                complex_watson=ComplexWatson(
+                    mode=mode, concentration=concentration),
+            )
+            if _return_affiliation:
+                return model, affiliation
+            return model
+
+        if saliency is None:
+            saliency = jnp.ones_like(initialization[..., 0, :])
+
         # Materialize the concentration lookup table (host) before
         # tracing so it is a constant inside the compiled loop.
         _ = self.complex_watson_trainer.grid
 
-        return _cwmm_fit_em(
+        model = _cwmm_fit_em(
             y, initialization, saliency,
             watson_trainer=self.complex_watson_trainer,
             iterations=int(iterations),
             weight_constant_axis=weight_constant_axis,
             aligner=inline_permutation_aligner,
         )
+        if _return_affiliation:
+            return model, _cwmm_predict_jit(model, y)
+        return model
 
     def fit_predict(
             self,
@@ -154,9 +194,11 @@ class CWMMTrainer:
             weight_constant_axis=(-1,),
             affiliation_eps=0,
             inline_permutation_aligner=None,
+            use_fused_em='auto',
     ):
-        """Fit a model, then return the posterior affiliations."""
-        model = self.fit(
+        """Fit a model, then return the posterior affiliations (from
+        the fused kernel's final E-step when it runs)."""
+        _, affiliation = self.fit(
             y=y,
             initialization=initialization,
             num_classes=num_classes,
@@ -166,8 +208,10 @@ class CWMMTrainer:
             weight_constant_axis=weight_constant_axis,
             affiliation_eps=affiliation_eps,
             inline_permutation_aligner=inline_permutation_aligner,
+            use_fused_em=use_fused_em,
+            _return_affiliation=True,
         )
-        return model.predict(y)
+        return affiliation
 
 
 @functools.partial(

@@ -18,6 +18,20 @@ if _PLATFORM == 'cpu':
         ).strip()
     os.environ['JAX_PLATFORMS'] = 'cpu'
 
+    # Keep foreign PJRT plugin shared libraries OUT of CPU-only test
+    # processes: jax's plugin discovery imports + dlopens them even
+    # when the platform is pinned to cpu, and a second compiler
+    # runtime cohabiting with jaxlib's XLA:CPU intermittently
+    # segfaults LLVM compilation deep into the suite (observed at
+    # ~65% on this machine, crash in backend_compile_and_load).
+    import sys
+    import types
+    for _name in ('axon', 'axon.register', 'axon.register.pjrt'):
+        if _name not in sys.modules:
+            _stub = types.ModuleType(_name)
+            _stub.initialize = lambda: None
+            sys.modules[_name] = _stub
+
 import jax  # noqa: E402
 
 if _PLATFORM == 'cpu':
