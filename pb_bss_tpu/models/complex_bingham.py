@@ -53,13 +53,24 @@ def normalize_observation(observation):
     )
 
 
-def _remove_duplicate_eigenvalues(covariance_eigenvalues, eps=1e-8):
+def _default_spacing_eps(dtype):
+    """Minimum eigenvalue spacing: the reference's 1e-8 (f64,
+    complex_bingham.py:166-203) is BELOW the f32 ulp at
+    concentration scale (ulp(500) ~ 3e-5), which leaves exact
+    duplicates and 1/0 in the partial-fraction norm — use 1e-3 at
+    f32 (a numeric guard; the reference path is f64-only)."""
+    return 1e-8 if jnp.finfo(dtype).bits >= 64 else 1e-3
+
+
+def _remove_duplicate_eigenvalues(covariance_eigenvalues, eps=None):
     """Sort ascending and force a minimum spacing of ``eps`` between
     adjacent eigenvalues (reference :166-203).
 
     Returns (inverse_permutation, regularized_eigenvalues).
     """
     covariance_eigenvalues = jnp.asarray(covariance_eigenvalues)
+    if eps is None:
+        eps = _default_spacing_eps(covariance_eigenvalues.dtype)
     permutation = jnp.argsort(covariance_eigenvalues, axis=-1)
     sorted_vals = jnp.take_along_axis(
         covariance_eigenvalues, permutation, axis=-1)
@@ -75,7 +86,11 @@ def _remove_duplicate_eigenvalues(covariance_eigenvalues, eps=1e-8):
 def _log_norm_distinct(eigenvalues):
     """log of ``2 pi^D sum_d exp(lambda_d) / prod_{d'!=d}(lambda_d -
     lambda_{d'})`` for eigenvalues with pairwise-distinct entries
-    (reference :159-163)."""
+    (reference :159-163). The sum is the divided difference of ``exp``
+    over the eigenvalues in partial-fraction form — it cancels
+    catastrophically in f32 when eigenvalues are close (the sum can
+    even round to a negative number -> NaN log); use
+    :func:`_log_norm_dd` on f32 paths."""
     D = eigenvalues.shape[-1]
     deltas = eigenvalues[..., None] - eigenvalues[..., None, :]
     eye = jnp.eye(D, dtype=eigenvalues.dtype)
@@ -83,6 +98,41 @@ def _log_norm_distinct(eigenvalues):
     a = 1.0 / jnp.prod(deltas, axis=-1)
     return jnp.log(2.0) + D * jnp.log(jnp.pi) + jnp.log(
         jnp.sum(a * jnp.exp(eigenvalues), axis=-1))
+
+
+def _log_norm_dd(eigenvalues):
+    """Cancellation-free Bingham log norm.
+
+    ``Z / (2 pi^D)`` is the divided difference ``exp[lambda_1, ...,
+    lambda_D]``; by Opitz' theorem that equals the (0, D-1) entry of
+    ``expm(J)`` for the upper-bidiagonal matrix ``J`` with the
+    (max-shifted) eigenvalues on the diagonal and ones on the
+    superdiagonal. Evaluated by scaling-and-squaring with a Taylor
+    kernel: every intermediate is a nonnegative confluent divided
+    difference, so there is NO cancellation — f32-safe for any node
+    spacing (including exact duplicates), unlike the
+    partial-fraction form. Accurate for ``|lambda| <~ 2048``
+    (static squaring count; the trainer clips concentrations to 500).
+    """
+    eigenvalues = jnp.asarray(eigenvalues)
+    D = eigenvalues.shape[-1]
+    lmax = jnp.max(eigenvalues, axis=-1, keepdims=True)
+    lam = eigenvalues - lmax  # <= 0
+    eye = jnp.eye(D, dtype=lam.dtype)
+    J = jnp.eye(D, k=1, dtype=lam.dtype) + lam[..., None] * eye
+    squarings = 11  # 2^11 = 2048
+    A = J * (2.0 ** -squarings)
+    # exp(A) by Taylor: ||A|| <= ~1, 13 terms -> ~1e-10 relative
+    E = eye + A
+    term = A
+    for k in range(2, 14):
+        term = jnp.einsum('...ij,...jk->...ik', term, A) / k
+        E = E + term
+    for _ in range(squarings):
+        E = jnp.einsum('...ij,...jk->...ik', E, E)
+    dd = jnp.maximum(E[..., 0, D - 1], _tiny(lam))
+    return (jnp.log(2.0) + D * jnp.log(jnp.pi)
+            + lmax[..., 0] + jnp.log(dd))
 
 
 @modelclass
@@ -113,30 +163,31 @@ class ComplexBingham(Model):
         result = result - self.log_norm()[..., None]
         return result
 
-    def log_norm(self, remove_duplicate_eigenvalues=True, eps=1e-8):
+    def log_norm(self, remove_duplicate_eigenvalues=True, eps=None):
         eigenvalues = jnp.asarray(self.covariance_eigenvalues)
         if remove_duplicate_eigenvalues:
             _, eigenvalues = _remove_duplicate_eigenvalues(
                 eigenvalues, eps=eps)
-        return _log_norm_distinct(eigenvalues)
+        return _log_norm_dd(eigenvalues)
 
-    def norm(self, remove_duplicate_eigenvalues=True, eps=1e-8):
+    def norm(self, remove_duplicate_eigenvalues=True, eps=None):
         return jnp.exp(self.log_norm(
             remove_duplicate_eigenvalues=remove_duplicate_eigenvalues,
             eps=eps))
 
 
 def _grad_log_norm(eigenvalues):
-    """Gradient of the log norm w.r.t. the (distinct) eigenvalues —
-    autodiff replacement of the codegen'd rational functions
-    (reference complex_bingham_utils.py:5-346)."""
-    return jax.grad(_log_norm_distinct)(eigenvalues)
+    """Gradient of the log norm w.r.t. the eigenvalues — autodiff
+    replacement of the codegen'd rational functions (reference
+    complex_bingham_utils.py:5-346), through the cancellation-free
+    divided-difference form."""
+    return jax.grad(_log_norm_dd)(eigenvalues)
 
 
 @functools.partial(
     jax.jit, static_argnames=('max_concentration', 'eps', 'iterations'))
 def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
-                     eps=1e-8, iterations=50):
+                     eps=None, iterations=50):
     """Invert the moment equations: find Bingham eigenvalues ``lambda``
     (max pinned to 0) with ``grad log c(lambda) = scatter_eigenvalues``.
 
@@ -160,7 +211,9 @@ def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
     inverse_permutation, s_sorted = _remove_duplicate_eigenvalues(
         s, eps=eps)
 
-    upper = -1e-8
+    # the diff lower bound must stay representable after cumsum at
+    # concentration scale -> dtype-aware like the spacing eps
+    upper = -_default_spacing_eps(dtype)
     lower = -max_concentration if np.isfinite(max_concentration) else None
 
     def solve_one(s_vec):
@@ -222,7 +275,7 @@ def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
 
 class ComplexBinghamTrainer:
     def __init__(self, dimension=None, max_concentration=np.inf,
-                 eignevalue_eps=1e-8):
+                 eignevalue_eps=None):
         """
         Args:
             dimension: feature dimension (inferred at fit if None).
@@ -239,7 +292,7 @@ class ComplexBinghamTrainer:
     # Reference-compatible aliases (v2/v3 differ only in the solver
     # parameterization; the batched Newton uses the v3 diff form).
     @classmethod
-    def find_eigenvalues_v3(cls, scatter_eigenvalues, eps=1e-8,
+    def find_eigenvalues_v3(cls, scatter_eigenvalues, eps=None,
                             max_concentration=np.inf):
         return find_eigenvalues(
             jnp.asarray(scatter_eigenvalues),

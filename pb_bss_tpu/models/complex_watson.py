@@ -71,7 +71,10 @@ class ComplexWatson(Model):
         return (
             jnp.log(2.)
             + dimension * jnp.log(jnp.pi)
-            - gammaln(jnp.asarray(float(dimension)))
+            # keep the constant in the input dtype: a bare f64
+            # gammaln here would upcast the whole E-step under x64
+            # and break dtype-stable scan carries for c64 inputs
+            - gammaln(jnp.asarray(dimension, scale.dtype))
             + jnp.log1p(jnp.sum(
                 jnp.cumprod(scale[..., None] / b_range, -1), -1))
         )
@@ -179,10 +182,14 @@ class ComplexWatsonTrainer:
     def hypergeometric_ratio_inverse(self, eigenvalues):
         """Eigenvalue ratio -> concentration via the device lookup
         table (monotone, linearly interpolated; clamps to
-        [0, max_concentration])."""
+        [0, max_concentration]). The result follows the input dtype
+        (the f64 table must not upcast f32 EM states under x64 —
+        scan carries must be dtype-stable)."""
+        eigenvalues = jnp.asarray(eigenvalues)
         ratio_grid, kappa_grid = self.grid
         return jnp.interp(
-            jnp.asarray(eigenvalues), ratio_grid, kappa_grid)
+            eigenvalues, ratio_grid, kappa_grid
+        ).astype(eigenvalues.dtype)
 
     def fit(self, y, saliency=None) -> ComplexWatson:
         y = jnp.asarray(y)

@@ -31,7 +31,7 @@ __all__ = ['separate', 'separate_batch']
     jax.jit,
     static_argnames=(
         'num_classes', 'iterations', 'stft_size', 'stft_shift',
-        'beamformer', 'reference_channel', 'eigh_sweeps',
+        'beamformer', 'reference_channel', 'eigh_sweeps', 'model',
     ),
 )
 def separate(
@@ -45,19 +45,24 @@ def separate(
         reference_channel=0,
         key=None,
         eigh_sweeps=None,
+        model='cacgmm',
 ):
     """Blind source separation of a multichannel recording.
 
     Args:
         observation: (D, num_samples) real multichannel time signal.
         num_classes: number of mixture components (speakers + noise).
-        iterations: cACGMM EM iterations.
+        iterations: EM iterations.
         beamformer: None for mask-based extraction at
             ``reference_channel``, or a ``get_bf_vector`` name (e.g.
             ``'gev+ban'``, ``'mvdr_souden'``) applied per class with
             the summed other classes as noise.
         key: jax PRNG key for the EM initialization.
         eigh_sweeps: optional speed knob for the EM eigendecomposition.
+        model: spatial mixture model family: ``'cacgmm'`` (default),
+            ``'cwmm'`` (complex Watson) or ``'cbmm'`` (complex
+            Bingham) — the three spatial models of the reference's
+            end-to-end tests (test_spatial_mm.py).
     Returns:
         (num_classes, num_samples) separated time signals (mask-based
         signals are aligned across frequency; global class order is
@@ -72,11 +77,22 @@ def separate(
     Observation = stft(observation, stft_size, stft_shift)  # (D, T, F)
     Y = jnp.einsum('dtf->ftd', Observation)
 
-    # one call: on the fused-kernel path (auto on TPU) the
+    # one call: on the fused-kernel paths (auto on TPU) the
     # affiliations come from the kernel's final E-step for free
-    _, affiliation = CACGMMTrainer().fit_predict_model(
-        Y, num_classes=num_classes, iterations=iterations, key=key,
-        eigh_sweeps=eigh_sweeps)  # (F, K, T)
+    if model == 'cacgmm':
+        _, affiliation = CACGMMTrainer().fit_predict_model(
+            Y, num_classes=num_classes, iterations=iterations, key=key,
+            eigh_sweeps=eigh_sweeps)  # (F, K, T)
+    elif model == 'cwmm':
+        from .models.cwmm import CWMMTrainer
+        affiliation = CWMMTrainer().fit_predict(
+            Y, num_classes=num_classes, iterations=iterations, key=key)
+    elif model == 'cbmm':
+        from .models.cbmm import CBMMTrainer
+        affiliation = CBMMTrainer().fit_predict(
+            Y, num_classes=num_classes, iterations=iterations, key=key)
+    else:
+        raise ValueError(model)
 
     pa = DHTVPermutationAlignment.from_stft_size(stft_size)
     masks = pa(jnp.einsum('fkt->kft', affiliation))  # (K, F, T)
@@ -111,7 +127,7 @@ def separate(
     jax.jit,
     static_argnames=(
         'num_classes', 'iterations', 'stft_size', 'stft_shift',
-        'beamformer', 'reference_channel', 'eigh_sweeps',
+        'beamformer', 'reference_channel', 'eigh_sweeps', 'model',
     ),
 )
 def _separate_batch_jit(observations, keys, **kwargs):
@@ -130,6 +146,7 @@ def separate_batch(
         reference_channel=0,
         key=None,
         eigh_sweeps=None,
+        model='cacgmm',
         mesh=None,
 ):
     """Batched :func:`separate`: one fused device program for a whole
@@ -164,4 +181,4 @@ def separate_batch(
         num_classes=num_classes, iterations=iterations,
         stft_size=stft_size, stft_shift=stft_shift,
         beamformer=beamformer, reference_channel=reference_channel,
-        eigh_sweeps=eigh_sweeps)
+        eigh_sweeps=eigh_sweeps, model=model)

@@ -51,6 +51,23 @@ def test_separate_pipeline_api():
             assert max(sdrs) > 3, (k, sdrs)
 
 
+def test_separate_model_families():
+    """separate(model=...) runs the CWMM and CBMM spatial models
+    (reference test_spatial_mm.py covers the same three families)."""
+    import numpy as np
+    from pb_bss_tpu.pipeline import separate
+    from pb_bss_tpu.testing.dummy_data import low_reverberation_data
+
+    ex = low_reverberation_data()
+    observation = ex['observation'].astype(np.float32)
+    n = observation.shape[-1]
+    for model, iters in (('cwmm', 10), ('cbmm', 2)):
+        out = np.asarray(separate(
+            observation, num_classes=3, iterations=iters, model=model))
+        assert out.shape == (3, n), (model, out.shape)
+        assert np.isfinite(out).all(), model
+
+
 def test_separate_batch_sharded():
     """Batched separation, data-parallel over the mesh 'b' axis; must
     match the per-utterance path exactly (same per-utterance PRNG
