@@ -111,3 +111,28 @@ def test_sharded_beamformer_pipeline():
         np.testing.assert_allclose(
             np.abs(np.asarray(a)), np.abs(np.asarray(b)),
             rtol=1e-3, atol=1e-4)
+
+
+@needs_8_devices
+def test_fused_em_kernel_under_frequency_sharding():
+    """The single-kernel Pallas EM path (use_fused_em) must run and
+    preserve sharding when the observations carry a NamedSharding
+    over 'f' (GSPMD partitions the pallas_call in interpret mode on
+    CPU; verified compiled on the real chip by dev runs)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    F, T, D, K = 32, 24, 3, 2
+    y = _data((F, T, D), seed=5)
+    mesh = make_mesh((8,), ('f',))
+    y_sharded = jax.device_put(y, NamedSharding(mesh, P('f', None, None)))
+
+    m_sharded = CACGMMTrainer().fit(
+        y_sharded, num_classes=K, iterations=3, use_fused_em=True)
+    m_local = CACGMMTrainer().fit(
+        y, num_classes=K, iterations=3, use_fused_em=True)
+
+    np.testing.assert_allclose(
+        np.asarray(m_sharded.cacg.covariance_eigenvalues),
+        np.asarray(m_local.cacg.covariance_eigenvalues),
+        rtol=1e-4, atol=1e-5,
+    )
