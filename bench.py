@@ -379,15 +379,25 @@ def bench_extras():
         ]
         _ = np.asarray(fetch(sum(a.sum() + b.sum() for a, b in inputs)))
 
+        # si_sdr runs on device; stoi (data-dependent silent-frame
+        # removal) and bss_eval (f64 Toeplitz solves) are host-side
+        # NumPy, like the reference's pystoi/mir_eval
         @jax.jit
         def evals(ref, est):
-            a = jnp.sum(si_sdr(ref, est, allow_float32=True))
-            b = jnp.sum(stoi(ref, est, 8000))
-            sdr, sir, sar, _ = bss_eval_sources(ref, est)
-            return a + b + jnp.sum(sdr + sir + sar)
+            return jnp.sum(si_sdr(ref, est, allow_float32=True))
         dt = timed(evals, inputs)
-        lines.append(f'eval sweep (si_sdr+stoi+bss_eval, 2x2s) '
-                     f'{dt * 1e3:.1f} ms')
+        est_h = refs + 0.1 * rng.standard_normal(
+            (Kq, N)).astype(np.float32)
+        start = time.perf_counter()
+        _ = stoi(refs, est_h, 8000)
+        dt_stoi = time.perf_counter() - start
+        start = time.perf_counter()
+        _ = bss_eval_sources(refs, est_h)
+        dt_bss = time.perf_counter() - start
+        lines.append(
+            f'eval sweep 2x2s: device si_sdr {dt * 1e3:.1f} ms, host '
+            f'stoi {dt_stoi * 1e3:.0f} ms, host bss_eval '
+            f'{dt_bss * 1e3:.0f} ms')
     except Exception as e:  # pragma: no cover
         lines.append(f'eval config failed: {type(e).__name__}: {e}')
 
