@@ -167,11 +167,12 @@ def bench_jax(y):
 
     @jax.jit
     def fit_batched(y_re, y_im):
-        def one(re, im):
-            model = trainer.fit(
-                re + 1j * im, num_classes=K, iterations=EM_ITERS)
-            return jnp.sum(model.cacg.covariance_eigenvalues)
-        return jnp.sum(jax.vmap(one)(y_re, y_im))
+        # 4D input: the fused kernel folds the batch into the bin
+        # axis (independent bins), filling lane tiles with ~6x less
+        # padding than vmap's extra grid dimension
+        model = trainer.fit(
+            y_re + 1j * y_im, num_classes=K, iterations=EM_ITERS)
+        return jnp.sum(model.cacg.covariance_eigenvalues)
 
     _ = np.asarray(fetch(fit_batched(*inputs_b[0])))
     start = time.perf_counter()

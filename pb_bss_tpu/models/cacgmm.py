@@ -151,7 +151,8 @@ def _fused_em_eligible(y, num_classes, saliency, source_activity_mask,
     from ..ops.pallas_em_loop import choose_tile_f
     return (
         jax.default_backend() != 'cpu'
-        and y.ndim == 3
+        # a leading batch axis folds into the (independent) bin axis
+        and y.ndim in (3, 4)
         and y.dtype == jnp.dtype(jnp.complex64)
         and y.shape[-2] <= 16
         and saliency is None
@@ -444,8 +445,9 @@ class CACGMMTrainer:
                 inline_permutation_aligner, weight_constant_axis,
                 hermitize, covariance_norm)
         if use_fused_em:
-            assert y.ndim == 3, (
-                'use_fused_em requires (F, N, D) observations', y.shape)
+            assert y.ndim in (3, 4), (
+                'use_fused_em requires (F, N, D) or (B, F, N, D) '
+                'observations', y.shape)
             assert saliency is None and source_activity_mask is None
             assert inline_permutation_aligner is None
             assert weight_constant_axis in ((-1,), -1), \

@@ -272,6 +272,10 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
 
     Args:
         y_re / y_im: (F, D, T) observation planes, unit-norm, time-last.
+            A leading batch axis (B, F, D, T) is folded into the bin
+            axis (bins are independent; folding fills lane tiles ~6x
+            better than vmap's extra grid dimension, which pads every
+            example separately).
         affiliation: (F, K, T) initial posteriors.
         quadratic_form: (F, K, T) initial quadratic forms (ones for a
             fresh fit).
@@ -280,6 +284,22 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
         (F, K, D, D) complex64, affiliation (F, K, T));
         eigenpairs sorted ascending.
     """
+    if y_re.ndim == 4:
+        B, F, D, T = y_re.shape
+        K = affiliation.shape[-2]
+        weight, eigenvalues, vectors, aff = cacgmm_em_full(
+            y_re.reshape(B * F, D, T), y_im.reshape(B * F, D, T),
+            affiliation.reshape(B * F, K, T),
+            quadratic_form.reshape(B * F, K, T),
+            iterations=iterations, sweeps=sweeps,
+            eigenvalue_floor=eigenvalue_floor,
+            affiliation_eps=affiliation_eps, tile_f=tile_f,
+            interpret=interpret)
+        return (weight.reshape(B, F, K),
+                eigenvalues.reshape(B, F, K, D),
+                vectors.reshape(B, F, K, D, D),
+                aff.reshape(B, F, K, T))
+
     F, D, T = y_re.shape
     K = affiliation.shape[1]
 

@@ -126,6 +126,29 @@ def test_auto_gate_is_off_on_cpu():
         np.asarray(m_scan.cacg.covariance_eigenvalues))
 
 
+def test_batch_folding_is_bit_exact():
+    """(B, F, ...) inputs fold the batch into the bin axis — bins are
+    independent, so per-example results are bit-identical to the 3D
+    call (and lane tiles fill with far less padding than vmap)."""
+    rng = np.random.default_rng(7)
+    B, F, D, T, K = 3, 17, 4, 40, 2
+    y = rng.standard_normal((B, F, D, T)) + 1j * rng.standard_normal(
+        (B, F, D, T))
+    y /= np.linalg.norm(y, axis=2, keepdims=True)
+    aff0 = rng.uniform(size=(B, F, K, T)).astype(np.float32)
+    aff0 /= aff0.sum(2, keepdims=True)
+    qf0 = np.ones((B, F, K, T), np.float32)
+    args4 = (jnp.asarray(y.real, jnp.float32),
+             jnp.asarray(y.imag, jnp.float32),
+             jnp.asarray(aff0), jnp.asarray(qf0))
+    out4 = cacgmm_em_full(*args4, iterations=3, interpret=True)
+    out3 = cacgmm_em_full(
+        *(a[1] for a in args4), iterations=3, interpret=True)
+    assert out4[1].shape == (B, F, K, D)
+    assert_allclose(np.asarray(out4[1][1]), np.asarray(out3[1]), rtol=0)
+    assert_allclose(np.asarray(out4[3][1]), np.asarray(out3[3]), rtol=0)
+
+
 def test_vmap_batching():
     args = _mixture(F=9, D=3, T=24)
     batched = [jnp.stack([a, a * 0.9 + 0.05]) for a in args]
