@@ -136,27 +136,32 @@ def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
         # weight = mean_t affiliation; scatter S_k = D/denom *
         # sum_t (a_kt/q_kt) y_t y_t^H, built Hermitian from its upper
         # triangle (exactly Hermitian, so force_hermitian is implicit).
+        # The pair product p_de = y_d conj(y_e) is computed once per
+        # (d, e) and reduced against every class's weights — K-fold
+        # less elementwise work than per-class whitening.
+        w = []
+        scale = []
         for kk in range(k):
             a = aff_ref[kk]  # (T, F')
             wsum = jnp.sum(a, axis=0)  # (F',)
             weight_ref[kk] = wsum / t_real
-            w = a / jnp.maximum(qf_ref[kk], 10 * tiny)
-            scale = d / jnp.maximum(wsum, tiny)  # (F',)
-            for dd in range(d):
-                awr = w * y_re_ref[dd]
-                awi = w * y_im_ref[dd]
-                for ee in range(dd, d):
-                    # S[d, e] = sum_t w * y_d * conj(y_e)
-                    s_re = jnp.sum(
-                        awr * y_re_ref[ee] + awi * y_im_ref[ee],
-                        axis=0) * scale
+            w.append(a / jnp.maximum(qf_ref[kk], 10 * tiny))
+            scale.append(d / jnp.maximum(wsum, tiny))  # (F',)
+        for dd in range(d):
+            y_rd = y_re_ref[dd]
+            y_id = y_im_ref[dd]
+            for ee in range(dd, d):
+                p_re = y_rd * y_re_ref[ee] + y_id * y_im_ref[ee]
+                p_im = (None if ee == dd
+                        else y_id * y_re_ref[ee] - y_rd * y_im_ref[ee])
+                for kk in range(k):
+                    s_re = jnp.sum(w[kk] * p_re, axis=0) * scale[kk]
                     ar[dd, ee, kk] = s_re
                     if ee == dd:
                         ai[dd, dd, kk] = jnp.zeros_like(s_re)
                     else:
                         s_im = jnp.sum(
-                            awi * y_re_ref[ee] - awr * y_im_ref[ee],
-                            axis=0) * scale
+                            w[kk] * p_im, axis=0) * scale[kk]
                         ar[ee, dd, kk] = s_re
                         ai[dd, ee, kk] = s_im
                         ai[ee, dd, kk] = -s_im
@@ -185,26 +190,51 @@ def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
             logdet = jnp.log(l) if logdet is None else logdet + jnp.log(l)
 
         # ---- E-step ------------------------------------------------
-        # z = V^H y per class; quadratic form; max-shifted softmax with
-        # linear-domain weights; eps clip.
+        # Quadratic form via the assembled inverse covariance:
+        # qf = sum_de Cinv_de conj(y_d) y_e with Cinv = V diag(1/l) V^H
+        # — the (K, F') Cinv entries are cheap (lane-tile sized), and
+        # the (T, F') pair products are shared across classes instead
+        # of whitening every class separately.
+        cinv_r = {}
+        cinv_i = {}
+        for dd in range(d):
+            for ee in range(dd, d):
+                cr = None
+                ci = None
+                for i_ in range(d):
+                    vrd = vre_ref[dd, i_]  # (K, F')
+                    vid = vim_ref[dd, i_]
+                    vre_ = vre_ref[ee, i_]
+                    vie = vim_ref[ee, i_]
+                    tr = inv[i_] * (vrd * vre_ + vid * vie)
+                    cr = tr if cr is None else cr + tr
+                    if ee != dd:
+                        ti = inv[i_] * (vid * vre_ - vrd * vie)
+                        ci = ti if ci is None else ci + ti
+                cinv_r[dd, ee] = cr
+                cinv_i[dd, ee] = ci
+
+        qf_acc = [None] * k
+        for dd in range(d):
+            y_rd = y_re_ref[dd]
+            y_id = y_im_ref[dd]
+            for ee in range(dd, d):
+                p_re = y_rd * y_re_ref[ee] + y_id * y_im_ref[ee]
+                p_im = (None if ee == dd
+                        else y_id * y_re_ref[ee] - y_rd * y_im_ref[ee])
+                for kk in range(k):
+                    if ee == dd:
+                        term = cinv_r[dd, dd][kk] * p_re
+                    else:
+                        # 2 Re(Cinv_de conj(y_d) y_e); with
+                        # p = y_d conj(y_e): re += ci * p_im
+                        term = 2 * (cinv_r[dd, ee][kk] * p_re
+                                    + cinv_i[dd, ee][kk] * p_im)
+                    qf_acc[kk] = (term if qf_acc[kk] is None
+                                  else qf_acc[kk] + term)
         log_pdf = []
         for kk in range(k):
-            qf_acc = None
-            for ee in range(d):
-                zr = None
-                zi = None
-                for dd in range(d):
-                    v_r = vre_ref[dd, ee, kk]  # (F',)
-                    v_i = vim_ref[dd, ee, kk]
-                    y_r = y_re_ref[dd]  # (T, F')
-                    y_i = y_im_ref[dd]
-                    zr_term = v_r * y_r + v_i * y_i
-                    zi_term = v_r * y_i - v_i * y_r
-                    zr = zr_term if zr is None else zr + zr_term
-                    zi = zi_term if zi is None else zi + zi_term
-                term = inv[ee][kk] * (zr * zr + zi * zi)
-                qf_acc = term if qf_acc is None else qf_acc + term
-            qf_new = jnp.maximum(qf_acc, tiny)
+            qf_new = jnp.maximum(qf_acc[kk], tiny)
             qf_ref[kk] = qf_new
             log_pdf.append(-d * jnp.log(qf_new) - logdet[kk])
 
