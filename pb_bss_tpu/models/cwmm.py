@@ -143,7 +143,7 @@ class CWMMTrainer:
                 jnp.swapaxes(y, -2, -1), num_k, saliency, None, None,
                 weight_constant_axis, True, 'eigenvalue')
         if use_fused_em:
-            assert y.ndim == 3 and saliency is None
+            assert y.ndim in (3, 4) and saliency is None
             assert inline_permutation_aligner is None
             assert weight_constant_axis in ((-1,), -1)
             from ..ops.pallas_cwmm_loop import cwmm_em_full

@@ -126,25 +126,28 @@ def _cwmm_kernel(y_re_ref, y_im_ref, aff0_ref, table_ref,
 
     def body(i, carry):
         # ---- M-step: weight + scatter + dominant eigenpair ---------
+        # shared pair products p_de = y_d conj(y_e), reduced against
+        # every class's affiliations (see pallas_em_loop.py)
+        scale = []
         for kk in range(k):
-            a = aff_ref[kk]  # (T, F')
-            wsum = jnp.sum(a, axis=0)
+            wsum = jnp.sum(aff_ref[kk], axis=0)
             weight_ref[kk] = wsum / t_real
-            scale = 1.0 / jnp.maximum(wsum, tiny)
-            for dd in range(d):
-                awr = a * y_re_ref[dd]
-                awi = a * y_im_ref[dd]
-                for ee in range(dd, d):
-                    s_re = jnp.sum(
-                        awr * y_re_ref[ee] + awi * y_im_ref[ee],
-                        axis=0) * scale
+            scale.append(1.0 / jnp.maximum(wsum, tiny))
+        for dd in range(d):
+            y_rd = y_re_ref[dd]
+            y_id = y_im_ref[dd]
+            for ee in range(dd, d):
+                p_re = y_rd * y_re_ref[ee] + y_id * y_im_ref[ee]
+                p_im = (None if ee == dd
+                        else y_id * y_re_ref[ee] - y_rd * y_im_ref[ee])
+                for kk in range(k):
+                    a = aff_ref[kk]
+                    s_re = jnp.sum(a * p_re, axis=0) * scale[kk]
                     ar[dd, ee, kk] = s_re
                     if ee == dd:
                         ai[dd, dd, kk] = jnp.zeros_like(s_re)
                     else:
-                        s_im = jnp.sum(
-                            awi * y_re_ref[ee] - awr * y_im_ref[ee],
-                            axis=0) * scale
+                        s_im = jnp.sum(a * p_im, axis=0) * scale[kk]
                         ar[ee, dd, kk] = s_re
                         ai[dd, ee, kk] = s_im
                         ai[ee, dd, kk] = -s_im
@@ -258,11 +261,25 @@ def cwmm_em_full(y_re, y_im, affiliation, *, iterations, sweeps=6,
 
     Args:
         y_re / y_im: (F, D, T) unit-norm observation planes, time-last.
+            A leading batch axis (B, F, D, T) folds into the bin axis
+            (bins independent; see pallas_em_loop.cacgmm_em_full).
         affiliation: (F, K, T) initial posteriors.
     Returns:
         (weight (F, K), mode (F, K, D) complex64,
         concentration (F, K), affiliation (F, K, T)).
     """
+    if y_re.ndim == 4:
+        B, F, D, T = y_re.shape
+        K = affiliation.shape[-2]
+        weight, mode, kappa, aff = cwmm_em_full(
+            y_re.reshape(B * F, D, T), y_im.reshape(B * F, D, T),
+            affiliation.reshape(B * F, K, T),
+            iterations=iterations, sweeps=sweeps,
+            max_concentration=max_concentration, tile_f=tile_f,
+            interpret=interpret)
+        return (weight.reshape(B, F, K), mode.reshape(B, F, K, D),
+                kappa.reshape(B, F, K), aff.reshape(B, F, K, T))
+
     F, D, T = y_re.shape
     K = affiliation.shape[1]
 
