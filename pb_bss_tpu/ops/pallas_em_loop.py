@@ -104,10 +104,49 @@ def _jacobi_rounds(ar, ai, vr, vi, *, d, sweeps, tiny):
                 vi[:, q] = (s_r * vp_i + s_i * vp_r) + c * vq_i
 
 
+def _warm_rotate(ar, ai, vr, vi, br, bi, *, d):
+    """B = V^H S V: rotate the fresh scatter (in ar/ai) into the
+    previous iteration's eigenbasis (in vr/vi). The EM's scatter
+    changes slowly between iterations, so B is near-diagonal and the
+    Jacobi needs ~2 sweeps instead of 4-6; the accumulated transform
+    (Jacobi keeps updating vr/vi) stays the eigenbasis of S. Written
+    Hermitian from the upper triangle (exact hermitization)."""
+    # C = S @ V into br/bi
+    for a in range(d):
+        for j in range(d):
+            cr = None
+            ci = None
+            for b in range(d):
+                tr = ar[a, b] * vr[b, j] - ai[a, b] * vi[b, j]
+                ti = ar[a, b] * vi[b, j] + ai[a, b] * vr[b, j]
+                cr = tr if cr is None else cr + tr
+                ci = ti if ci is None else ci + ti
+            br[a, j] = cr
+            bi[a, j] = ci
+    # B = V^H @ C back into ar/ai (upper triangle + mirror)
+    for i_ in range(d):
+        for j in range(i_, d):
+            b_re = None
+            for a in range(d):
+                tr = vr[a, i_] * br[a, j] + vi[a, i_] * bi[a, j]
+                b_re = tr if b_re is None else b_re + tr
+            ar[i_, j] = b_re
+            if j == i_:
+                ai[i_, i_] = jnp.zeros_like(b_re)
+            else:
+                b_im = None
+                for a in range(d):
+                    ti = vr[a, i_] * bi[a, j] - vi[a, i_] * br[a, j]
+                    b_im = ti if b_im is None else b_im + ti
+                ar[j, i_] = b_re
+                ai[i_, j] = b_im
+                ai[j, i_] = -b_im
+
+
 def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
                     aff_ref, vre_ref, vim_ref, eig_ref, weight_ref,
-                    qf_ref, ar, ai,
-                    *, d, k, iterations, sweeps, t_real,
+                    qf_ref, ar, ai, br, bi,
+                    *, d, k, iterations, sweeps, warm_sweeps, t_real,
                     eigenvalue_floor, affiliation_eps, tiny):
     """One frequency tile: all EM iterations with y resident in VMEM.
 
@@ -131,7 +170,7 @@ def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
                     else aff0_ref[...] * mask[None])
     qf_ref[...] = qf0_ref[...]
 
-    def body(i, carry):
+    def body(i, carry, *, warm):
         # ---- M-step -----------------------------------------------
         # weight = mean_t affiliation; scatter S_k = D/denom *
         # sum_t (a_kt/q_kt) y_t y_t^H, built Hermitian from its upper
@@ -167,12 +206,19 @@ def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
                         ai[ee, dd, kk] = -s_im
 
         # ---- eigendecomposition (in-kernel Jacobi) ----------------
-        row = lax.broadcasted_iota(jnp.int32, ar.shape, 0)
-        col = lax.broadcasted_iota(jnp.int32, ar.shape, 1)
-        vre_ref[...] = jnp.where(row == col, 1.0, 0.0)
-        vim_ref[...] = jnp.zeros(ar.shape, jnp.float32)
-        _jacobi_rounds(ar, ai, vre_ref, vim_ref,
-                       d=d, sweeps=sweeps, tiny=tiny)
+        if warm:
+            # start from the previous iteration's eigenbasis; the
+            # rotated scatter is near-diagonal -> fewer sweeps
+            _warm_rotate(ar, ai, vre_ref, vim_ref, br, bi, d=d)
+            _jacobi_rounds(ar, ai, vre_ref, vim_ref,
+                           d=d, sweeps=warm_sweeps, tiny=tiny)
+        else:
+            row = lax.broadcasted_iota(jnp.int32, ar.shape, 0)
+            col = lax.broadcasted_iota(jnp.int32, ar.shape, 1)
+            vre_ref[...] = jnp.where(row == col, 1.0, 0.0)
+            vim_ref[...] = jnp.zeros(ar.shape, jnp.float32)
+            _jacobi_rounds(ar, ai, vre_ref, vim_ref,
+                           d=d, sweeps=sweeps, tiny=tiny)
 
         # eigenvalue normalization + floor
         # (from_covariance 'eigenvalue' semantics)
@@ -260,7 +306,16 @@ def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
             aff_ref[kk] = a if mask is None else a * mask
         return carry
 
-    lax.fori_loop(0, iterations, body, 0)
+    if warm_sweeps is None:
+        lax.fori_loop(
+            0, iterations, lambda i, c: body(i, c, warm=False), 0)
+    else:
+        # peel iteration 0: cold eigendecomposition at full sweeps,
+        # warm-started iterations after
+        body(0, 0, warm=False)
+        if iterations > 1:
+            lax.fori_loop(
+                1, iterations, lambda i, c: body(i, c, warm=True), 0)
 
 
 def choose_tile_f(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
@@ -278,7 +333,7 @@ def choose_tile_f(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
     per_lane = 4 * (
         2 * (2 * d * t_pad + 2 * k * t_pad)        # in blocks, 2 bufs
         + 2 * (k * t_pad + 2 * d * d * k + d * k + k)  # out blocks
-        + (k * t_pad + 2 * d * d * k)              # scratch
+        + (k * t_pad + 4 * d * d * k)              # scratch
     )
     return [tf for tf in (512, 256, 128)
             if tf * per_lane <= vmem_budget]
@@ -286,10 +341,12 @@ def choose_tile_f(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('iterations', 'sweeps', 'eigenvalue_floor',
-                     'affiliation_eps', 'tile_f', 'interpret'))
+    static_argnames=('iterations', 'sweeps', 'warm_sweeps',
+                     'eigenvalue_floor', 'affiliation_eps', 'tile_f',
+                     'interpret'))
 def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
-                   iterations, sweeps=6, eigenvalue_floor=1e-10,
+                   iterations, sweeps=6, warm_sweeps=None,
+                   eigenvalue_floor=1e-10,
                    affiliation_eps=1e-10, tile_f=None, interpret=False):
     """Run a full cACGMM EM fit as ONE Pallas kernel launch.
 
@@ -322,6 +379,7 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
             affiliation.reshape(B * F, K, T),
             quadratic_form.reshape(B * F, K, T),
             iterations=iterations, sweeps=sweeps,
+            warm_sweeps=warm_sweeps,
             eigenvalue_floor=eigenvalue_floor,
             affiliation_eps=affiliation_eps, tile_f=tile_f,
             interpret=interpret)
@@ -361,7 +419,7 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
 
     kernel = functools.partial(
         _em_loop_kernel, d=D, k=K, iterations=iterations,
-        sweeps=sweeps, t_real=T,
+        sweeps=sweeps, warm_sweeps=warm_sweeps, t_real=T,
         eigenvalue_floor=float(eigenvalue_floor),
         affiliation_eps=float(affiliation_eps), tiny=_TINY)
 
@@ -391,6 +449,8 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
         ],
         scratch_shapes=[
             pltpu.VMEM((K, t_pad, tile_f), jnp.float32),
+            pltpu.VMEM((D, D, K, tile_f), jnp.float32),
+            pltpu.VMEM((D, D, K, tile_f), jnp.float32),
             pltpu.VMEM((D, D, K, tile_f), jnp.float32),
             pltpu.VMEM((D, D, K, tile_f), jnp.float32),
         ],
