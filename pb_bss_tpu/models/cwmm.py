@@ -152,6 +152,9 @@ class CWMMTrainer:
                 y_dt.real, y_dt.imag,
                 jnp.asarray(initialization, jnp.float32),
                 iterations=int(iterations),
+                # warm-started Jacobi (see pallas_em_loop): 2 sweeps
+                # from the previous eigenbasis, first iteration cold
+                warm_sweeps=2,
                 max_concentration=float(self.max_concentration),
                 interpret=jax.default_backend() == 'cpu',
             )

@@ -34,7 +34,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_em_loop import _jacobi_rounds
+from .pallas_em_loop import _jacobi_rounds, _warm_rotate
 
 __all__ = ['cwmm_em_full', 'concentration_table', 'choose_tile_f_cwmm']
 
@@ -104,9 +104,9 @@ def _log_norm(kappa, dimension, consts):
 
 def _cwmm_kernel(y_re_ref, y_im_ref, aff0_ref, table_ref,
                  aff_ref, m_re_ref, m_im_ref, kappa_ref, weight_ref,
-                 ar, ai, vr, vi,
-                 *, d, k, iterations, sweeps, t_real, r0, dr,
-                 table_size, dimension_consts, tiny):
+                 ar, ai, vr, vi, br, bi,
+                 *, d, k, iterations, sweeps, warm_sweeps, t_real,
+                 r0, dr, table_size, dimension_consts, tiny):
     """One frequency tile: all CWMM EM iterations in VMEM.
 
     Blocks: y (D, T, F'); aff0 (K, T, F'); table (table_size, 1)
@@ -124,7 +124,7 @@ def _cwmm_kernel(y_re_ref, y_im_ref, aff0_ref, table_ref,
     aff_ref[...] = (aff0_ref[...] if mask is None
                     else aff0_ref[...] * mask[None])
 
-    def body(i, carry):
+    def body(i, carry, *, warm):
         # ---- M-step: weight + scatter + dominant eigenpair ---------
         # shared pair products p_de = y_d conj(y_e), reduced against
         # every class's affiliations (see pallas_em_loop.py)
@@ -152,11 +152,17 @@ def _cwmm_kernel(y_re_ref, y_im_ref, aff0_ref, table_ref,
                         ai[dd, ee, kk] = s_im
                         ai[ee, dd, kk] = -s_im
 
-        row = lax.broadcasted_iota(jnp.int32, ar.shape, 0)
-        col = lax.broadcasted_iota(jnp.int32, ar.shape, 1)
-        vr[...] = jnp.where(row == col, 1.0, 0.0)
-        vi[...] = jnp.zeros(ar.shape, jnp.float32)
-        _jacobi_rounds(ar, ai, vr, vi, d=d, sweeps=sweeps, tiny=tiny)
+        if warm:
+            _warm_rotate(ar, ai, vr, vi, br, bi, d=d)
+            _jacobi_rounds(
+                ar, ai, vr, vi, d=d, sweeps=warm_sweeps, tiny=tiny)
+        else:
+            row = lax.broadcasted_iota(jnp.int32, ar.shape, 0)
+            col = lax.broadcasted_iota(jnp.int32, ar.shape, 1)
+            vr[...] = jnp.where(row == col, 1.0, 0.0)
+            vi[...] = jnp.zeros(ar.shape, jnp.float32)
+            _jacobi_rounds(
+                ar, ai, vr, vi, d=d, sweeps=sweeps, tiny=tiny)
 
         # dominant eigenpair, gather-free: one-hot of the max by
         # comparison counting (index tie-break)
@@ -231,7 +237,14 @@ def _cwmm_kernel(y_re_ref, y_im_ref, aff0_ref, table_ref,
             aff_ref[kk] = a if mask is None else a * mask
         return carry
 
-    lax.fori_loop(0, iterations, body, 0)
+    if warm_sweeps is None:
+        lax.fori_loop(
+            0, iterations, lambda i, c: body(i, c, warm=False), 0)
+    else:
+        body(0, 0, warm=False)
+        if iterations > 1:
+            lax.fori_loop(
+                1, iterations, lambda i, c: body(i, c, warm=True), 0)
 
 
 def choose_tile_f_cwmm(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
@@ -239,7 +252,7 @@ def choose_tile_f_cwmm(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
     per_lane = 4 * (
         2 * (2 * d * t_pad + k * t_pad)            # in blocks, 2 bufs
         + 2 * (k * t_pad + 2 * d * k + 2 * k)      # out blocks
-        + 4 * d * d * k                            # Jacobi scratch
+        + 6 * d * d * k                            # Jacobi scratch
     )
     return [tf for tf in (512, 256, 128)
             if tf * per_lane <= vmem_budget]
@@ -247,10 +260,11 @@ def choose_tile_f_cwmm(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('iterations', 'sweeps', 'max_concentration',
-                     'tile_f', 'interpret'))
+    static_argnames=('iterations', 'sweeps', 'warm_sweeps',
+                     'max_concentration', 'tile_f', 'interpret'))
 def cwmm_em_full(y_re, y_im, affiliation, *, iterations, sweeps=6,
-                 max_concentration=500.0, tile_f=None, interpret=False):
+                 warm_sweeps=None, max_concentration=500.0,
+                 tile_f=None, interpret=False):
     """Run a full CWMM EM fit as ONE Pallas kernel launch.
 
     Semantics match the scan path (models/_em.py:run_em via
@@ -275,6 +289,7 @@ def cwmm_em_full(y_re, y_im, affiliation, *, iterations, sweeps=6,
             y_re.reshape(B * F, D, T), y_im.reshape(B * F, D, T),
             affiliation.reshape(B * F, K, T),
             iterations=iterations, sweeps=sweeps,
+            warm_sweeps=warm_sweeps,
             max_concentration=max_concentration, tile_f=tile_f,
             interpret=interpret)
         return (weight.reshape(B, F, K), mode.reshape(B, F, K, D),
@@ -304,6 +319,7 @@ def cwmm_em_full(y_re, y_im, affiliation, *, iterations, sweeps=6,
 
     kernel = functools.partial(
         _cwmm_kernel, d=D, k=K, iterations=iterations, sweeps=sweeps,
+        warm_sweeps=warm_sweeps,
         t_real=T, r0=r0, dr=dr, table_size=table.shape[0],
         dimension_consts=_log_norm_tran_vu_terms(D), tiny=_TINY)
 
@@ -331,6 +347,8 @@ def cwmm_em_full(y_re, y_im, affiliation, *, iterations, sweeps=6,
             jax.ShapeDtypeStruct((K, f_pad), jnp.float32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((D, D, K, tile_f), jnp.float32),
+            pltpu.VMEM((D, D, K, tile_f), jnp.float32),
             pltpu.VMEM((D, D, K, tile_f), jnp.float32),
             pltpu.VMEM((D, D, K, tile_f), jnp.float32),
             pltpu.VMEM((D, D, K, tile_f), jnp.float32),
