@@ -126,6 +126,7 @@ class GCACGMMTrainer:
             spatial_weight=1.,
             spectral_weight=1.,
             inline_permutation_alignment=False,
+            use_fused_em='auto',
     ) -> GCACGMM:
         """EM on (F, T, D) observations + (F, T, E) embeddings
         (reference gcacgmm.py:121-226).
@@ -133,6 +134,12 @@ class GCACGMMTrainer:
         ``weight_constant_axis`` semantics (affiliation is (F, K, T)):
         (-3, -2, -1) scalar, (-3, -1) per class, (-1,) per (F, K),
         (-3,) per (K, T).
+
+        use_fused_em: run each EM iteration's E-step + M-statistics as
+            ONE Pallas kernel pass (see models/vmfcacgmm.py). 'auto'
+            enables it on TPU for eligible inputs ('spherical' /
+            'diagonal' covariance); True forces it (interpret mode on
+            CPU, slow — for tests); False keeps the pure-XLA scan.
         """
         assert xor(initialization is None, num_classes is None), (
             'Incompatible input combination. '
@@ -161,11 +168,22 @@ class GCACGMMTrainer:
                 '...kt->...t', initialization)[..., None, :]
         initialization = jnp.asarray(initialization)
 
+        saliency_arg = saliency
         if saliency is None:
             saliency = jnp.ones_like(initialization[..., 0, :])
 
         if isinstance(weight_constant_axis, list):
             weight_constant_axis = tuple(weight_constant_axis)
+
+        if use_fused_em == 'auto':
+            from .vmfcacgmm import _fused_integration_eligible
+            use_fused_em = (
+                covariance_type in ('spherical', 'diagonal')
+                and _fused_integration_eligible(
+                    observation, embedding,
+                    initialization.shape[-2], saliency_arg,
+                    weight_constant_axis, inline_permutation_alignment)
+            )
 
         return _gcacgmm_fit_em(
             observation, embedding, initialization, saliency,
@@ -181,6 +199,7 @@ class GCACGMMTrainer:
             spectral_weight=float(spectral_weight),
             inline_permutation_alignment=bool(
                 inline_permutation_alignment),
+            use_fused_em=bool(use_fused_em),
         )
 
     def fit_predict(self, observation, embedding, initialization=None,
@@ -190,7 +209,8 @@ class GCACGMMTrainer:
                     covariance_type='spherical', fixed_covariance=None,
                     affiliation_eps=1e-10, weight_constant_axis=(-1,),
                     spatial_weight=1., spectral_weight=1.,
-                    inline_permutation_alignment=False):
+                    inline_permutation_alignment=False,
+                    use_fused_em='auto'):
         """Fit a model, then return the posterior affiliations."""
         model = self.fit(
             observation=observation,
@@ -210,6 +230,7 @@ class GCACGMMTrainer:
             spatial_weight=spatial_weight,
             spectral_weight=spectral_weight,
             inline_permutation_alignment=inline_permutation_alignment,
+            use_fused_em=use_fused_em,
         )
         return model.predict(observation=observation, embedding=embedding)
 
@@ -233,13 +254,14 @@ def _integration_weight(masked_affiliation, weight_constant_axis):
         'iterations', 'hermitize', 'covariance_norm', 'eigenvalue_floor',
         'covariance_type', 'affiliation_eps', 'weight_constant_axis',
         'spatial_weight', 'spectral_weight',
-        'inline_permutation_alignment'),
+        'inline_permutation_alignment', 'use_fused_em'),
 )
 def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
                     fixed_covariance, *, iterations, hermitize,
                     covariance_norm, eigenvalue_floor, covariance_type,
                     affiliation_eps, weight_constant_axis, spatial_weight,
-                    spectral_weight, inline_permutation_alignment):
+                    spectral_weight, inline_permutation_alignment,
+                    use_fused_em=False):
     F, T, D = observation.shape
     _, _, E = embedding.shape
     K = affiliation.shape[-2]
@@ -283,7 +305,91 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
 
     quadratic_form = jnp.ones_like(affiliation)
     model = m_step(affiliation, quadratic_form)
-    if iterations > 1:
+    if iterations > 1 and use_fused_em:
+        from ..ops.pallas_integration_em import (
+            choose_tile_f, e_stats_staged, stage_observation)
+        tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8)
+        y_tl = jnp.swapaxes(observation, -1, -2)  # (F, D, T)
+        emb_tl = jnp.swapaxes(embedding, -1, -2)  # (F, E, T)
+        staged = stage_observation(
+            y_tl.real, y_tl.imag, emb_tl, tile_f=tile_f)
+        interpret = jax.default_backend() == 'cpu'
+        f32 = jnp.float32
+        # the kernel computes in f32; pin the scan carry's dtypes so
+        # the first (XLA) M-step's x64 leaves can't mismatch it
+        model = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.complex64)
+            if jnp.iscomplexobj(x) else x.astype(f32), model)
+        spherical = covariance_type == 'spherical'
+
+        def fused_step(model, _):
+            # One kernel pass: E-step + every M-statistic (the
+            # posterior never touches HBM); the small M-step finish
+            # (Pallas Jacobi eigh, Gaussian moment matching) stays
+            # in XLA.
+            g = model.gaussian
+            if spherical:
+                prec = jnp.broadcast_to(
+                    (1. / g.covariance)[:, None], g.mean.shape)
+                ldpc = -0.5 * E * jnp.log(g.covariance)
+            else:
+                prec = 1. / g.covariance  # (K, E)
+                ldpc = -0.5 * jnp.sum(jnp.log(g.covariance), axis=-1)
+            const = (0.5 * E * jnp.log(2 * jnp.pi) - ldpc
+                     + 0.5 * jnp.sum(g.mean ** 2 * prec, axis=-1))
+            eigenvalues = model.cacg.covariance_eigenvalues
+            scatter, asum, r, m2 = e_stats_staged(
+                *staged,
+                model.cacg.covariance_eigenvectors.real,
+                model.cacg.covariance_eigenvectors.imag,
+                1. / eigenvalues,
+                jnp.sum(jnp.log(eigenvalues), axis=-1),
+                model.weight,
+                prec * g.mean, prec, const,
+                f_real=F, t_real=T,
+                spatial_weight=spatial_weight,
+                spectral_weight=spectral_weight,
+                affiliation_eps=affiliation_eps,
+                tile_f=tile_f, interpret=interpret,
+                spectral_mode='gaussian')
+            tiny = jnp.finfo(f32).tiny
+            # weight M-step (reference gcacgmm.py:287-295 for (-1,))
+            weight = asum / jnp.maximum(
+                jnp.sum(asum, axis=-1, keepdims=True), tiny)
+            # Gaussian M-step from the global zeroth/first/second
+            # moments (reference gaussian.py:133-167): the centered
+            # covariance is E[e^2] - mean^2 under the posterior
+            denom = jnp.maximum(jnp.sum(asum, axis=0), tiny)  # (K,)
+            mean = r / denom[:, None]
+            centered = jnp.maximum(
+                m2 / denom[:, None] - mean ** 2, tiny)  # (K, E)
+            if spherical:
+                covariance = jnp.mean(centered, axis=-1)
+            else:
+                covariance = centered
+            if fixed_covariance is not None:
+                covariance = fixed_covariance.astype(f32)
+            gaussian = g.__class__(mean=mean, covariance=covariance)
+            # cACG M-step: scatter is built hermitian in-kernel
+            cacg_covariance = D * scatter / jnp.maximum(
+                asum, tiny)[..., None, None].astype(scatter.dtype)
+            cacg = ComplexAngularCentralGaussian.from_covariance(
+                cacg_covariance,
+                eigenvalue_floor=eigenvalue_floor,
+                covariance_norm=covariance_norm,
+            )
+            return GCACGMM(
+                weight=weight,
+                gaussian=gaussian,
+                cacg=cacg,
+                weight_constant_axis=weight_constant_axis,
+                spatial_weight=spatial_weight,
+                spectral_weight=spectral_weight,
+            ), None
+
+        model, _ = lax.scan(
+            fused_step, model, None, length=iterations - 1)
+    elif iterations > 1:
         def step(model, _):
             affiliation, quadratic_form = model._predict(
                 observation=observation,

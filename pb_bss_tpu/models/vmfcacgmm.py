@@ -92,6 +92,27 @@ class VMFCACGMM(Model):
         return affiliation, quadratic_form
 
 
+def _fused_integration_eligible(
+        observation, embedding, num_classes, saliency,
+        weight_constant_axis, inline_permutation_alignment):
+    """Route the EM to the fused per-iteration Pallas E+stats kernel
+    (ops/pallas_integration_em.py)? Non-CPU backend, c64 (F, T, D)
+    observations, default knobs the kernel implements exactly."""
+    from ..ops.pallas_integration_em import choose_tile_f
+    F, T, D = observation.shape
+    E = embedding.shape[-1]
+    return (
+        jax.default_backend() != 'cpu'
+        and observation.ndim == 3
+        and observation.dtype == jnp.dtype(jnp.complex64)
+        and D <= 16
+        and saliency is None
+        and not inline_permutation_alignment
+        and weight_constant_axis in ((-1,), -1)
+        and bool(choose_tile_f(D, E, num_classes, -(-T // 8) * 8))
+    )
+
+
 class VMFCACGMMTrainer:
     def fit(
             self,
@@ -113,9 +134,17 @@ class VMFCACGMMTrainer:
             spatial_weight=1.,
             spectral_weight=1.,
             inline_permutation_alignment=False,
+            use_fused_em='auto',
     ) -> VMFCACGMM:
         """EM on (F, T, D) observations + (F, T, E) embeddings
-        (reference vmfcacgmm.py:101-203)."""
+        (reference vmfcacgmm.py:101-203).
+
+        use_fused_em: run each EM iteration's E-step + M-statistics as
+            ONE Pallas kernel pass (bins in lanes; the posterior is
+            never materialized to HBM). 'auto' enables it on TPU for
+            eligible inputs; True forces it (interpret mode on CPU,
+            slow — for tests); False keeps the pure-XLA scan.
+        """
         assert xor(initialization is None, num_classes is None), (
             'Incompatible input combination. '
             'Exactly one of the two inputs has to be None: '
@@ -143,11 +172,18 @@ class VMFCACGMMTrainer:
                 '...kt->...t', initialization)[..., None, :]
         initialization = jnp.asarray(initialization)
 
+        saliency_arg = saliency
         if saliency is None:
             saliency = jnp.ones_like(initialization[..., 0, :])
 
         if isinstance(weight_constant_axis, list):
             weight_constant_axis = tuple(weight_constant_axis)
+
+        if use_fused_em == 'auto':
+            use_fused_em = _fused_integration_eligible(
+                observation, embedding,
+                initialization.shape[-2], saliency_arg,
+                weight_constant_axis, inline_permutation_alignment)
 
         return _vmfcacgmm_fit_em(
             observation, embedding, initialization, saliency,
@@ -163,6 +199,7 @@ class VMFCACGMMTrainer:
             spectral_weight=float(spectral_weight),
             inline_permutation_alignment=bool(
                 inline_permutation_alignment),
+            use_fused_em=bool(use_fused_em),
         )
 
     def fit_predict(self, observation, embedding, initialization=None,
@@ -172,7 +209,8 @@ class VMFCACGMMTrainer:
                     covariance_norm='eigenvalue', eigenvalue_floor=1e-10,
                     affiliation_eps=1e-10, weight_constant_axis=(-1,),
                     spatial_weight=1., spectral_weight=1.,
-                    inline_permutation_alignment=False):
+                    inline_permutation_alignment=False,
+                    use_fused_em='auto'):
         """Fit a model, then return the posterior affiliations."""
         model = self.fit(
             observation=observation,
@@ -192,6 +230,7 @@ class VMFCACGMMTrainer:
             spatial_weight=spatial_weight,
             spectral_weight=spectral_weight,
             inline_permutation_alignment=inline_permutation_alignment,
+            use_fused_em=use_fused_em,
         )
         return model.predict(observation=observation, embedding=embedding)
 
@@ -202,14 +241,16 @@ class VMFCACGMMTrainer:
         'iterations', 'min_concentration', 'max_concentration',
         'hermitize', 'covariance_norm', 'eigenvalue_floor',
         'affiliation_eps', 'weight_constant_axis', 'spatial_weight',
-        'spectral_weight', 'inline_permutation_alignment'),
+        'spectral_weight', 'inline_permutation_alignment',
+        'use_fused_em'),
 )
 def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
                       iterations, min_concentration, max_concentration,
                       hermitize, covariance_norm, eigenvalue_floor,
                       affiliation_eps, weight_constant_axis,
                       spatial_weight, spectral_weight,
-                      inline_permutation_alignment):
+                      inline_permutation_alignment,
+                      use_fused_em=False):
     F, T, D = observation.shape
     _, _, E = embedding.shape
     K = affiliation.shape[-2]
@@ -251,7 +292,75 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
 
     quadratic_form = jnp.ones_like(affiliation)
     model = m_step(affiliation, quadratic_form)
-    if iterations > 1:
+    if iterations > 1 and use_fused_em:
+        from ..ops.pallas_integration_em import (
+            choose_tile_f, e_stats_staged, stage_observation)
+        tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8)
+        y_tl = jnp.swapaxes(observation, -1, -2)  # (F, D, T)
+        emb_tl = jnp.swapaxes(embedding, -1, -2)  # (F, E, T)
+        staged = stage_observation(
+            y_tl.real, y_tl.imag, emb_tl, tile_f=tile_f)
+        interpret = jax.default_backend() == 'cpu'
+        f32 = jnp.float32
+        # the kernel computes in f32; pin the scan carry's dtypes so
+        # the first (XLA) M-step's x64 leaves can't mismatch it
+        model = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.complex64)
+            if jnp.iscomplexobj(x) else x.astype(f32), model)
+
+        def fused_step(model, _):
+            # One kernel pass: E-step + every M-statistic (the
+            # posterior never touches HBM); the small M-step finish
+            # (Pallas Jacobi eigh, Banerjee closed form) stays in XLA.
+            eigenvalues = model.cacg.covariance_eigenvalues
+            scatter, asum, r = e_stats_staged(
+                *staged,
+                model.cacg.covariance_eigenvectors.real,
+                model.cacg.covariance_eigenvectors.imag,
+                1. / eigenvalues,
+                jnp.sum(jnp.log(eigenvalues), axis=-1),
+                model.weight,
+                model.vmf.mean,
+                model.vmf.concentration,
+                model.vmf.log_norm(),
+                f_real=F, t_real=T,
+                spatial_weight=spatial_weight,
+                spectral_weight=spectral_weight,
+                affiliation_eps=affiliation_eps,
+                tile_f=tile_f, interpret=interpret)
+            tiny = jnp.finfo(f32).tiny
+            # weight M-step (reference gcacgmm.py:287-295 for (-1,))
+            weight = asum / jnp.maximum(
+                jnp.sum(asum, axis=-1, keepdims=True), tiny)
+            # vMF M-step, [Banerjee2005] closed form on the summed
+            # resultants (reference von_mises_fisher.py:122-144)
+            norm = jnp.linalg.norm(r, axis=-1)
+            mean = r / jnp.maximum(norm, tiny)[..., None]
+            r_bar = norm / jnp.maximum(jnp.sum(asum, axis=0), tiny)
+            concentration = jnp.clip(
+                (r_bar * E - r_bar ** 3) / (1 - r_bar ** 2),
+                min_concentration, max_concentration)
+            # cACG M-step: scatter is built hermitian in-kernel
+            covariance = D * scatter / jnp.maximum(
+                asum, tiny)[..., None, None].astype(scatter.dtype)
+            cacg = ComplexAngularCentralGaussian.from_covariance(
+                covariance,
+                eigenvalue_floor=eigenvalue_floor,
+                covariance_norm=covariance_norm,
+            )
+            return VMFCACGMM(
+                weight=weight,
+                vmf=VonMisesFisher(
+                    mean=mean, concentration=concentration),
+                cacg=cacg,
+                weight_constant_axis=weight_constant_axis,
+                spatial_weight=spatial_weight,
+                spectral_weight=spectral_weight,
+            ), None
+
+        model, _ = lax.scan(
+            fused_step, model, None, length=iterations - 1)
+    elif iterations > 1:
         def step(model, _):
             affiliation, quadratic_form = model._predict(
                 observation=observation,
