@@ -15,8 +15,7 @@ import itertools
 import numpy as np
 
 from .module_bss_eval import (
-    _bss_decomp_mtifilt,
-    _bss_source_crit,
+    _criteria_matrix,
     bss_eval_sources,
 )
 
@@ -96,16 +95,8 @@ def _bss_eval_sources_and_noise(reference_sources, estimated_sources):
     K, T = reference_sources.shape
     assert estimated_sources.shape == (K + 1, T), estimated_sources.shape
 
-    sdr = np.empty((K + 1, K))
-    sir = np.empty((K + 1, K))
-    sar = np.empty((K + 1, K))
-
-    for j_est in range(K + 1):
-        for j_true in range(K):
-            parts = _bss_decomp_mtifilt(
-                reference_sources, estimated_sources[j_est], j_true, 512)
-            sdr[j_est, j_true], sir[j_est, j_true], sar[j_est, j_true] \
-                = _bss_source_crit(*parts)
+    sdr, sir, sar = _criteria_matrix(
+        reference_sources, estimated_sources, 512)
 
     permutations = list(itertools.permutations(range(K + 1), K))
     dum = np.arange(K)

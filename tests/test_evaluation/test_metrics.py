@@ -56,6 +56,27 @@ class TestBssEval:
         s = rng.randn(2, T)
         return s
 
+    def test_shared_factorization_matches_pairwise(self):
+        """The shared-Gram fast path must reproduce the per-pair
+        mir_eval-style decomposition exactly (float64 rounding)."""
+        from pb_bss_tpu.evaluation.module_bss_eval import (
+            _bss_decomp_mtifilt,
+            _bss_source_crit,
+            _criteria_matrix,
+        )
+        rng = np.random.RandomState(11)
+        K, T = 3, 4000
+        s = rng.randn(K, T)
+        est = s + 0.3 * rng.randn(K, T) + 0.2 * np.roll(s, 1, axis=0)
+        sdr_n, sir_n, sar_n = _criteria_matrix(s, est, 128)
+        for m in range(K):
+            for j in range(K):
+                parts = _bss_decomp_mtifilt(s, est[m], j, 128)
+                sdr, sir, sar = _bss_source_crit(*parts)
+                np.testing.assert_allclose(sdr_n[m, j], sdr, atol=1e-9)
+                np.testing.assert_allclose(sir_n[m, j], sir, atol=1e-9)
+                np.testing.assert_allclose(sar_n[m, j], sar, atol=1e-9)
+
     def test_identity_recovers_high_sdr(self):
         s = self._mixture()
         sdr, sir, sar, perm = bss_eval_sources(s, s)
