@@ -56,9 +56,14 @@ def SRMR(signal, sample_rate: int = 16000, n: int = 23,
     signal = signal - np.mean(signal)
     signal = signal / np.std(signal, keepdims=True)
 
-    # cochlear decomposition + temporal envelopes
-    bands = np.asarray(gammatone_filterbank(
-        signal, sample_rate=sample_rate, n=n, low_freq=low_freq))
+    # cochlear decomposition + temporal envelopes. Host cascade: this
+    # metric is host-side end to end (hilbert, lfilter, windowed
+    # energies), and the VAD makes every signal's length unique, so
+    # the device filterbank would pay a one-off tunnel compile per
+    # process for no downstream device consumer.
+    bands = gammatone_filterbank(
+        signal, sample_rate=sample_rate, n=n, low_freq=low_freq,
+        device=False)
     envelopes = np.abs(scipy.signal.hilbert(bands, axis=-1))
 
     modulation_filter_frequencies = [

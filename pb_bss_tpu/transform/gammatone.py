@@ -6,9 +6,13 @@ ERB-spaced center frequencies (reference :6-58 filterbank, :61-102
 coefficients).
 
 TPU-first realization: each section runs through the associative-scan
-biquad (:mod:`pb_bss_tpu.transform.filters`) and the ``n`` filters are
-vmapped — one compiled program instead of ``n x 4`` sequential
-``scipy.signal.lfilter`` calls.
+biquad (:mod:`pb_bss_tpu.transform.filters`) with the ``n`` filters
+batched along a leading axis via per-filter coefficient ARRAYS — one
+compiled program (4 cascaded biquads) instead of ``n x 4`` sequential
+``scipy.signal.lfilter`` calls. The coefficients enter as traced
+inputs, so different center-frequency sets never recompile; a
+per-scalar-coefficient formulation measured ~92 separate compiles
+(~minutes over the TPU tunnel) and was replaced by this layout.
 """
 from __future__ import annotations
 
@@ -21,6 +25,20 @@ import numpy as np
 from .filters import biquad_filter
 
 __all__ = ['gammatone_filterbank', 'calculate_cfs']
+
+
+@jax.jit
+def _filterbank_jit(signal, stages, a):
+    """signal (..., T); stages (4, n, 3) feedforward, a (n, 3)
+    feedback -> (n, ..., T)."""
+    n = a.shape[0]
+    x = jnp.broadcast_to(signal[None], (n,) + signal.shape)
+    expand = (slice(None),) + (None,) * (signal.ndim - 1)
+    a_ = tuple(a[:, i][expand] for i in range(3))
+    for s in range(stages.shape[0]):
+        b_ = tuple(stages[s, :, i][expand] for i in range(3))
+        x = biquad_filter(x, b_, a_)
+    return x
 
 
 def Hz_2_ERBS(f):
@@ -84,8 +102,25 @@ def _calculate_coefficients(cfs, sample_rate):
     return A0, A11, A12, A13, A14, A2, B0, B1, B2, gain
 
 
+def _section_coefficients(low_freq, high_freq, n, sample_rate):
+    """(4, n, 3) feedforward stages + (n, 3) shared feedback."""
+    cfs = calculate_cfs(low_freq, high_freq, n)
+    A0, A11, A12, A13, A14, A2, B0, B1, B2, gain = \
+        _calculate_coefficients(cfs, sample_rate)
+    a = np.stack([np.full(n, B0), B1, B2], -1)  # (n, 3)
+    stages = np.stack([
+        np.stack([np.full(n, A0) / gain, A11 / gain,
+                  np.full(n, A2) / gain], -1),
+        np.stack([np.full(n, A0), A12, np.full(n, A2)], -1),
+        np.stack([np.full(n, A0), A13, np.full(n, A2)], -1),
+        np.stack([np.full(n, A0), A14, np.full(n, A2)], -1),
+    ])  # (4, n, 3)
+    return stages, a
+
+
 def gammatone_filterbank(signal, sample_rate: int = 16000, n: int = 23,
-                         low_freq: int = 125, high_freq: int = 0):
+                         low_freq: int = 125, high_freq: int = 0,
+                         device=True):
     """Filter ``signal`` with ``n`` 4th-order gammatone filters.
 
     Args:
@@ -95,6 +130,11 @@ def gammatone_filterbank(signal, sample_rate: int = 16000, n: int = 23,
         low_freq: lowest center frequency.
         high_freq: highest center frequency (exclusive); default
             ``sample_rate / 2``.
+        device: run the jitted associative-scan filterbank (one
+            compiled program). ``False`` runs the identical cascade
+            through ``scipy.signal.lfilter`` on the host — for
+            offline host-side consumers (the SRMR metric) where a
+            one-off device compile would dominate.
     Returns:
         (n, ..., T) filtered signals (stacked; index like the
         reference's list).
@@ -102,24 +142,21 @@ def gammatone_filterbank(signal, sample_rate: int = 16000, n: int = 23,
     if high_freq == 0:
         high_freq = sample_rate / 2
 
+    stages, a = _section_coefficients(low_freq, high_freq, n,
+                                      sample_rate)
+    if not device:
+        import scipy.signal
+        x = np.broadcast_to(
+            np.asarray(signal, float)[None],
+            (n,) + np.shape(signal)).copy()
+        for s in range(stages.shape[0]):
+            for i in range(n):
+                x[i] = scipy.signal.lfilter(stages[s, i], a[i], x[i],
+                                            axis=-1)
+        return x
+
     signal = jnp.asarray(signal)
-    cfs = calculate_cfs(low_freq, high_freq, n)
-    A0, A11, A12, A13, A14, A2, B0, B1, B2, gain = \
-        _calculate_coefficients(cfs, sample_rate)
-
-    a = np.stack([np.full(n, B0), B1, B2], -1)  # (n, 3)
-    b1 = np.stack([np.full(n, A0) / gain, A11 / gain,
-                   np.full(n, A2) / gain], -1)
-    b2 = np.stack([np.full(n, A0), A12, np.full(n, A2)], -1)
-    b3 = np.stack([np.full(n, A0), A13, np.full(n, A2)], -1)
-    b4 = np.stack([np.full(n, A0), A14, np.full(n, A2)], -1)
-
-    def one_filter(b1_, b2_, b3_, b4_, a_):
-        y = biquad_filter(signal, tuple(b1_), tuple(a_))
-        y = biquad_filter(y, tuple(b2_), tuple(a_))
-        y = biquad_filter(y, tuple(b3_), tuple(a_))
-        return biquad_filter(y, tuple(b4_), tuple(a_))
-
-    return jnp.stack([
-        one_filter(b1[i], b2[i], b3[i], b4[i], a[i]) for i in range(n)
-    ])
+    return _filterbank_jit(
+        signal,
+        jnp.asarray(stages, signal.dtype),
+        jnp.asarray(a, signal.dtype))
