@@ -106,17 +106,61 @@ class MISI(GriffinLim):
         self.x_hat = self.istft(self.X_dash)
 
 
+@partial(jax.jit, static_argnames=('iterations', 'size', 'shift',
+                                   'fading'))
+def _griffin_lim_loop(X, x_hat, *, iterations, size, shift, fading):
+    mag = jnp.abs(X)
+
+    def body(_, x_hat):
+        X_dash_dash = stft(x_hat, size=size, shift=shift, fading=fading)
+        X_dash = mag * jnp.exp(1j * jnp.angle(X_dash_dash))
+        return istft(X_dash, size=size, shift=shift, fading=fading)
+
+    return jax.lax.fori_loop(0, iterations, body, x_hat)
+
+
+@partial(jax.jit, static_argnames=('iterations', 'size', 'shift',
+                                   'fading'))
+def _misi_loop(X, x_hat, y, *, iterations, size, shift, fading):
+    mag = jnp.abs(X)
+    K = X.shape[0]
+    if x_hat.shape[-1] != y.shape[-1]:
+        y = jnp.pad(y, (0, x_hat.shape[-1] - y.shape[-1]))
+
+    def body(_, x_hat):
+        e = y - jnp.sum(x_hat, axis=0)
+        x_dash_dash = x_hat + e / K
+        X_dash_dash = stft(
+            x_dash_dash, size=size, shift=shift, fading=fading)
+        X_dash = mag * jnp.exp(1j * jnp.angle(X_dash_dash))
+        return istft(X_dash, size=size, shift=shift, fading=fading)
+
+    return jax.lax.fori_loop(0, iterations, body, x_hat)
+
+
 def griffin_lim(X, iterations=20, **kwargs):
-    """Functional Griffin-Lim: returns the reconstructed signals."""
+    """Functional Griffin-Lim: the class trajectory with the whole
+    iteration as ONE jitted ``fori_loop`` (the eager per-step class
+    API costs a device dispatch per op). One eager step settles the
+    iSTFT round-trip length; the loop carries a stable shape."""
     gl = GriffinLim(X, **kwargs)
-    for _ in range(iterations):
-        gl.step()
+    if iterations < 1:
+        return gl.x_hat
+    gl.step()
+    gl.x_hat = _griffin_lim_loop(
+        gl.X, gl.x_hat, iterations=iterations - 1, size=gl.size,
+        shift=gl.shift, fading=gl.fading)
     return gl.x_hat
 
 
 def misi(X, y, iterations=20, **kwargs):
-    """Functional MISI: returns the reconstructed source signals."""
+    """Functional MISI: returns the reconstructed source signals
+    (jitted loop; see :func:`griffin_lim`)."""
     m = MISI(X, y=y, first_guess='y', **kwargs)
-    for _ in range(iterations):
-        m.step()
+    if iterations < 1:
+        return m.x_hat
+    m.step()
+    m.x_hat = _misi_loop(
+        m.X, m.x_hat, m.y, iterations=iterations - 1, size=m.size,
+        shift=m.shift, fading=m.fading)
     return m.x_hat
