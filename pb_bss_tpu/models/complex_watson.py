@@ -24,8 +24,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.special import gammaln
-
 from .base import Model, modelclass
 from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
 from ..ops.linalg import eigh
@@ -71,10 +69,10 @@ class ComplexWatson(Model):
         return (
             jnp.log(2.)
             + dimension * jnp.log(jnp.pi)
-            # keep the constant in the input dtype: a bare f64
-            # gammaln here would upcast the whole E-step under x64
-            # and break dtype-stable scan carries for c64 inputs
-            - gammaln(jnp.asarray(dimension, scale.dtype))
+            # trace-time host constant in the input dtype: a bare f64
+            # gammaln would upcast the whole E-step under x64 and
+            # break dtype-stable scan carries for c64 inputs
+            - jnp.asarray(math.lgamma(dimension), scale.dtype)
             + jnp.log1p(jnp.sum(
                 jnp.cumprod(scale[..., None] / b_range, -1), -1))
         )
@@ -86,10 +84,14 @@ class ComplexWatson(Model):
         scale = jnp.asarray(scale, jnp.result_type(scale, jnp.float32))
         scale = jnp.maximum(scale, 1e-2)  # unstable at zero
         r_range = jnp.arange(dimension - 2 + 1, dtype=scale.dtype)
+        # r! as a trace-time host constant (static range)
+        factorials = jnp.asarray(
+            [math.factorial(r) for r in range(dimension - 2 + 1)],
+            scale.dtype)
         temp = (
             scale[..., None] ** r_range
             * jnp.exp(-scale[..., None])
-            / jnp.exp(gammaln(r_range + 1))
+            / factorials
         )
         return (
             jnp.log(2.)

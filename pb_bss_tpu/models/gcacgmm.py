@@ -72,18 +72,22 @@ class GCACGMM(Model):
 
     def _predict(self, observation, embedding, affiliation_eps=0.,
                  inline_permutation_alignment=False):
-        F, T, D = observation.shape
-        _, _, E = embedding.shape
+        *batch, F, T, D = observation.shape
+        E = embedding.shape[-1]
 
         observation_ = observation[..., None, :, :]
         cacg_log_pdf, quadratic_form = self.cacg._log_pdf(
             jnp.swapaxes(observation_, -1, -2))
 
-        embedding_ = jnp.reshape(embedding, (1, F * T, E))
+        # the spectral model is global over (F*T) per utterance
+        # (reference gcacgmm.py:66-117); leading batch axes carry
+        # their own spectral state
+        embedding_ = jnp.reshape(embedding, (*batch, 1, F * T, E))
         gaussian_log_pdf = self.gaussian.log_pdf(embedding_)
-        num_classes = gaussian_log_pdf.shape[0]
-        gaussian_log_pdf = jnp.transpose(
-            jnp.reshape(gaussian_log_pdf, (num_classes, F, T)), (1, 0, 2))
+        num_classes = gaussian_log_pdf.shape[-2]
+        gaussian_log_pdf = jnp.moveaxis(
+            jnp.reshape(gaussian_log_pdf, (*batch, num_classes, F, T)),
+            -3, -2)
 
         weight = unsqueeze(self.weight, self.weight_constant_axis)
         if inline_permutation_alignment:
@@ -156,12 +160,12 @@ class GCACGMMTrainer:
             _tiny(observation),
         )
 
-        F, T, D = observation.shape
+        *batch, F, T, D = observation.shape
 
         if initialization is None and num_classes is not None:
             if key is None:
                 key = jax.random.key(0)
-            affiliation_shape = (F, num_classes, T)
+            affiliation_shape = (*batch, F, num_classes, T)
             initialization = jax.random.uniform(
                 key, affiliation_shape, _real_dtype(observation))
             initialization = initialization / jnp.einsum(
@@ -262,8 +266,8 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
                     affiliation_eps, weight_constant_axis, spatial_weight,
                     spectral_weight, inline_permutation_alignment,
                     use_fused_em=False):
-    F, T, D = observation.shape
-    _, _, E = embedding.shape
+    *batch, F, T, D = observation.shape
+    E = embedding.shape[-1]
     K = affiliation.shape[-2]
 
     def m_step(affiliation, quadratic_form):
@@ -271,9 +275,10 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
         weight = _integration_weight(
             masked_affiliation, weight_constant_axis)
 
-        embedding_ = jnp.reshape(embedding, (1, F * T, E))
+        embedding_ = jnp.reshape(embedding, (*batch, 1, F * T, E))
         masked_affiliation_ = jnp.reshape(
-            jnp.transpose(masked_affiliation, (1, 0, 2)), (K, F * T))
+            jnp.moveaxis(masked_affiliation, -2, -3),
+            (*batch, K, F * T))
         gaussian = GaussianTrainer()._fit(
             y=embedding_,
             saliency=masked_affiliation_,
@@ -309,8 +314,15 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
         from ..ops.pallas_integration_em import (
             choose_tile_f, e_stats_staged, stage_observation)
         tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8)
-        y_tl = jnp.swapaxes(observation, -1, -2)  # (F, D, T)
-        emb_tl = jnp.swapaxes(embedding, -1, -2)  # (F, E, T)
+        # leading batch axes fold into the (independent) bin axis
+        # (see models/vmfcacgmm.py)
+        fold = 1
+        for b in batch:
+            fold *= b
+        y_tl = jnp.reshape(
+            jnp.swapaxes(observation, -1, -2), (fold * F, D, T))
+        emb_tl = jnp.reshape(
+            jnp.swapaxes(embedding, -1, -2), (fold * F, E, T))
         staged = stage_observation(
             y_tl.real, y_tl.imag, emb_tl, tile_f=tile_f)
         interpret = jax.default_backend() == 'cpu'
@@ -322,6 +334,19 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
             if jnp.iscomplexobj(x) else x.astype(f32), model)
         spherical = covariance_type == 'spherical'
 
+        def to_bins(x):
+            return jnp.reshape(x, (fold * F,) + x.shape[len(batch) + 1:])
+
+        def spectral_to_bins(x):
+            x = jnp.broadcast_to(
+                x[..., None, :, :] if x.ndim == len(batch) + 2
+                else x[..., None, :],
+                (*batch, F) + x.shape[len(batch):])
+            return to_bins(x)
+
+        def from_bins(x):
+            return jnp.reshape(x, (*batch, F) + x.shape[1:])
+
         def fused_step(model, _):
             # One kernel pass: E-step + every M-statistic (the
             # posterior never touches HBM); the small M-step finish
@@ -330,28 +355,34 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
             g = model.gaussian
             if spherical:
                 prec = jnp.broadcast_to(
-                    (1. / g.covariance)[:, None], g.mean.shape)
+                    (1. / g.covariance)[..., None], g.mean.shape)
                 ldpc = -0.5 * E * jnp.log(g.covariance)
             else:
-                prec = 1. / g.covariance  # (K, E)
+                prec = 1. / g.covariance  # (*batch, K, E)
                 ldpc = -0.5 * jnp.sum(jnp.log(g.covariance), axis=-1)
             const = (0.5 * E * jnp.log(2 * jnp.pi) - ldpc
                      + 0.5 * jnp.sum(g.mean ** 2 * prec, axis=-1))
             eigenvalues = model.cacg.covariance_eigenvalues
             scatter, asum, r, m2 = e_stats_staged(
                 *staged,
-                model.cacg.covariance_eigenvectors.real,
-                model.cacg.covariance_eigenvectors.imag,
-                1. / eigenvalues,
-                jnp.sum(jnp.log(eigenvalues), axis=-1),
-                model.weight,
-                prec * g.mean, prec, const,
-                f_real=F, t_real=T,
+                to_bins(model.cacg.covariance_eigenvectors.real),
+                to_bins(model.cacg.covariance_eigenvectors.imag),
+                to_bins(1. / eigenvalues),
+                to_bins(jnp.sum(jnp.log(eigenvalues), axis=-1)),
+                to_bins(model.weight),
+                spectral_to_bins(prec * g.mean),
+                spectral_to_bins(prec),
+                spectral_to_bins(const),
+                f_real=fold * F, t_real=T,
                 spatial_weight=spatial_weight,
                 spectral_weight=spectral_weight,
                 affiliation_eps=affiliation_eps,
                 tile_f=tile_f, interpret=interpret,
                 spectral_mode='gaussian')
+            scatter = from_bins(scatter)  # (*batch, F, K, D, D)
+            asum = from_bins(asum)  # (*batch, F, K)
+            r = jnp.sum(from_bins(r), axis=-3)  # (*batch, K, E)
+            m2 = jnp.sum(from_bins(m2), axis=-3)  # (*batch, K, E)
             tiny = jnp.finfo(f32).tiny
             # weight M-step (reference gcacgmm.py:287-295 for (-1,))
             weight = asum / jnp.maximum(
@@ -359,10 +390,11 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
             # Gaussian M-step from the global zeroth/first/second
             # moments (reference gaussian.py:133-167): the centered
             # covariance is E[e^2] - mean^2 under the posterior
-            denom = jnp.maximum(jnp.sum(asum, axis=0), tiny)  # (K,)
-            mean = r / denom[:, None]
+            denom = jnp.maximum(
+                jnp.sum(asum, axis=-2), tiny)  # (*batch, K)
+            mean = r / denom[..., None]
             centered = jnp.maximum(
-                m2 / denom[:, None] - mean ** 2, tiny)  # (K, E)
+                m2 / denom[..., None] - mean ** 2, tiny)
             if spherical:
                 covariance = jnp.mean(centered, axis=-1)
             else:

@@ -60,18 +60,22 @@ class VMFCACGMM(Model):
 
     def _predict(self, observation, embedding, affiliation_eps=0.,
                  inline_permutation_alignment=False):
-        F, T, D = observation.shape
-        _, _, E = embedding.shape
+        *batch, F, T, D = observation.shape
+        E = embedding.shape[-1]
 
         observation_ = observation[..., None, :, :]
         cacg_log_pdf, quadratic_form = self.cacg._log_pdf(
             jnp.swapaxes(observation_, -1, -2))
 
-        embedding_ = jnp.reshape(embedding, (1, F * T, E))
+        # the spectral model is global over (F*T) per utterance
+        # (reference vmfcacgmm.py:60-68); leading batch axes carry
+        # their own spectral state
+        embedding_ = jnp.reshape(embedding, (*batch, 1, F * T, E))
         vmf_log_pdf = self.vmf.log_pdf(embedding_)
-        num_classes = vmf_log_pdf.shape[0]
-        vmf_log_pdf = jnp.transpose(
-            jnp.reshape(vmf_log_pdf, (num_classes, F, T)), (1, 0, 2))
+        num_classes = vmf_log_pdf.shape[-2]
+        vmf_log_pdf = jnp.moveaxis(
+            jnp.reshape(vmf_log_pdf, (*batch, num_classes, F, T)),
+            -3, -2)
 
         weight = unsqueeze(self.weight, self.weight_constant_axis)
         if inline_permutation_alignment:
@@ -97,13 +101,14 @@ def _fused_integration_eligible(
         weight_constant_axis, inline_permutation_alignment):
     """Route the EM to the fused per-iteration Pallas E+stats kernel
     (ops/pallas_integration_em.py)? Non-CPU backend, c64 (F, T, D)
-    observations, default knobs the kernel implements exactly."""
+    observations (a leading batch axis folds into the bin axis),
+    default knobs the kernel implements exactly."""
     from ..ops.pallas_integration_em import choose_tile_f
-    F, T, D = observation.shape
+    F, T, D = observation.shape[-3:]
     E = embedding.shape[-1]
     return (
         jax.default_backend() != 'cpu'
-        and observation.ndim == 3
+        and observation.ndim in (3, 4)
         and observation.dtype == jnp.dtype(jnp.complex64)
         and D <= 16
         and saliency is None
@@ -137,7 +142,9 @@ class VMFCACGMMTrainer:
             use_fused_em='auto',
     ) -> VMFCACGMM:
         """EM on (F, T, D) observations + (F, T, E) embeddings
-        (reference vmfcacgmm.py:101-203).
+        (reference vmfcacgmm.py:101-203). Leading batch axes (e.g.
+        (B, F, T, D)) fit independent models per utterance — an
+        extension over the reference's fixed 3D shapes.
 
         use_fused_em: run each EM iteration's E-step + M-statistics as
             ONE Pallas kernel pass (bins in lanes; the posterior is
@@ -160,12 +167,12 @@ class VMFCACGMMTrainer:
             _tiny(observation),
         )
 
-        F, T, D = observation.shape
+        *batch, F, T, D = observation.shape
 
         if initialization is None and num_classes is not None:
             if key is None:
                 key = jax.random.key(0)
-            affiliation_shape = (F, num_classes, T)
+            affiliation_shape = (*batch, F, num_classes, T)
             initialization = jax.random.uniform(
                 key, affiliation_shape, _real_dtype(observation))
             initialization = initialization / jnp.einsum(
@@ -251,8 +258,8 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
                       spatial_weight, spectral_weight,
                       inline_permutation_alignment,
                       use_fused_em=False):
-    F, T, D = observation.shape
-    _, _, E = embedding.shape
+    *batch, F, T, D = observation.shape
+    E = embedding.shape[-1]
     K = affiliation.shape[-2]
 
     def m_step(affiliation, quadratic_form):
@@ -260,9 +267,10 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
         weight = _integration_weight(
             masked_affiliation, weight_constant_axis)
 
-        embedding_ = jnp.reshape(embedding, (1, F * T, E))
+        embedding_ = jnp.reshape(embedding, (*batch, 1, F * T, E))
         masked_affiliation_ = jnp.reshape(
-            jnp.transpose(masked_affiliation, (1, 0, 2)), (K, F * T))
+            jnp.moveaxis(masked_affiliation, -2, -3),
+            (*batch, K, F * T))
         # NOTE: like the reference (vmfcacgmm.py:280-284) the vMF
         # M-step runs on the *raw* embedding (``_fit`` assumes unit
         # norm; the resulting resultant length r_bar reflects the
@@ -296,8 +304,16 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
         from ..ops.pallas_integration_em import (
             choose_tile_f, e_stats_staged, stage_observation)
         tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8)
-        y_tl = jnp.swapaxes(observation, -1, -2)  # (F, D, T)
-        emb_tl = jnp.swapaxes(embedding, -1, -2)  # (F, E, T)
+        # leading batch axes fold into the (independent) bin axis;
+        # each utterance's global spectral state rides along as
+        # per-lane columns and the resultants un-fold per utterance
+        fold = 1
+        for b in batch:
+            fold *= b
+        y_tl = jnp.reshape(
+            jnp.swapaxes(observation, -1, -2), (fold * F, D, T))
+        emb_tl = jnp.reshape(
+            jnp.swapaxes(embedding, -1, -2), (fold * F, E, T))
         staged = stage_observation(
             y_tl.real, y_tl.imag, emb_tl, tile_f=tile_f)
         interpret = jax.default_backend() == 'cpu'
@@ -308,6 +324,21 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
             lambda x: x.astype(jnp.complex64)
             if jnp.iscomplexobj(x) else x.astype(f32), model)
 
+        def to_bins(x):
+            # (*batch, F, ...) -> (fold*F, ...)
+            return jnp.reshape(x, (fold * F,) + x.shape[len(batch) + 1:])
+
+        def spectral_to_bins(x):
+            # (*batch, K[, E]) -> broadcast over F -> (fold*F, K[, E])
+            x = jnp.broadcast_to(
+                x[..., None, :, :] if x.ndim == len(batch) + 2
+                else x[..., None, :],
+                (*batch, F) + x.shape[len(batch):])
+            return to_bins(x)
+
+        def from_bins(x):
+            return jnp.reshape(x, (*batch, F) + x.shape[1:])
+
         def fused_step(model, _):
             # One kernel pass: E-step + every M-statistic (the
             # posterior never touches HBM); the small M-step finish
@@ -315,19 +346,22 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
             eigenvalues = model.cacg.covariance_eigenvalues
             scatter, asum, r = e_stats_staged(
                 *staged,
-                model.cacg.covariance_eigenvectors.real,
-                model.cacg.covariance_eigenvectors.imag,
-                1. / eigenvalues,
-                jnp.sum(jnp.log(eigenvalues), axis=-1),
-                model.weight,
-                model.vmf.mean,
-                model.vmf.concentration,
-                model.vmf.log_norm(),
-                f_real=F, t_real=T,
+                to_bins(model.cacg.covariance_eigenvectors.real),
+                to_bins(model.cacg.covariance_eigenvectors.imag),
+                to_bins(1. / eigenvalues),
+                to_bins(jnp.sum(jnp.log(eigenvalues), axis=-1)),
+                to_bins(model.weight),
+                spectral_to_bins(model.vmf.mean),
+                spectral_to_bins(model.vmf.concentration),
+                spectral_to_bins(model.vmf.log_norm()),
+                f_real=fold * F, t_real=T,
                 spatial_weight=spatial_weight,
                 spectral_weight=spectral_weight,
                 affiliation_eps=affiliation_eps,
                 tile_f=tile_f, interpret=interpret)
+            scatter = from_bins(scatter)  # (*batch, F, K, D, D)
+            asum = from_bins(asum)  # (*batch, F, K)
+            r = jnp.sum(from_bins(r), axis=-3)  # (*batch, K, E)
             tiny = jnp.finfo(f32).tiny
             # weight M-step (reference gcacgmm.py:287-295 for (-1,))
             weight = asum / jnp.maximum(
@@ -336,7 +370,7 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
             # resultants (reference von_mises_fisher.py:122-144)
             norm = jnp.linalg.norm(r, axis=-1)
             mean = r / jnp.maximum(norm, tiny)[..., None]
-            r_bar = norm / jnp.maximum(jnp.sum(asum, axis=0), tiny)
+            r_bar = norm / jnp.maximum(jnp.sum(asum, axis=-2), tiny)
             concentration = jnp.clip(
                 (r_bar * E - r_bar ** 3) / (1 - r_bar ** 2),
                 min_concentration, max_concentration)

@@ -34,18 +34,33 @@ def log_ive(nu, kappa):
     With 512 terms the series dominates up to ``kappa ~ 900`` (the term
     index of the maximum is ~kappa/2), covering the clipped
     concentration range of the trainers (max 500).
+
+    The order ``nu`` is static in every caller, so the gamma terms
+    are host-side trace-time CONSTANTS — no per-iteration device
+    ``gammaln`` over the 512 series terms inside EM scans.
     """
     kappa = jnp.asarray(kappa)
     dtype = jnp.result_type(kappa.dtype, jnp.float32)
     kappa = kappa.astype(dtype)
-    m = jnp.arange(_SERIES_TERMS, dtype=dtype)
     log_half_kappa = jnp.log(jnp.maximum(
         kappa / 2, jnp.finfo(dtype).tiny))
-    terms = (
-        (2 * m + nu) * log_half_kappa[..., None]
-        - gammaln(m + 1)
-        - gammaln(m + nu + 1)
-    )
+    m_host = np.arange(_SERIES_TERMS, dtype=np.float64)
+    try:
+        nu_host = float(nu)
+    except (TypeError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        nu_host = None
+    if nu_host is not None:
+        from scipy.special import gammaln as np_gammaln
+        log_gamma = jnp.asarray(
+            np_gammaln(m_host + 1) + np_gammaln(m_host + nu_host + 1),
+            dtype)
+        orders = jnp.asarray(2 * m_host + nu_host, dtype)
+    else:  # traced order: keep the on-device lowering
+        m = jnp.arange(_SERIES_TERMS, dtype=dtype)
+        log_gamma = gammaln(m + 1) + gammaln(m + nu + 1)
+        orders = 2 * m + nu
+    terms = orders * log_half_kappa[..., None] - log_gamma
     return logsumexp(terms, axis=-1) - kappa
 
 

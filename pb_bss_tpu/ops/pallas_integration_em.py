@@ -46,6 +46,7 @@ def choose_tile_f(d, e_dim, k, t_pad):
         (2 * d + e_dim) * t_pad           # y_re, y_im, emb in-blocks
         + 2 * d * d * k + d * k + 2 * k   # V planes, inv, logdet, weight
         + 2 * d * d * k + k + e_dim * k   # scatter, asum, resultants out
+        + e_dim * k + 2 * k               # per-lane mu, kappa/const in
         + 2 * e_dim * k                   # gaussian-mode prec in, m2 out
     )
     return next(
@@ -59,11 +60,13 @@ def _e_stats_kernel(*refs, d, e_dim, k, t_real, spatial_weight,
     """One frequency tile, one EM iteration's E-step + statistics.
 
     Blocks: y (D, T, F'); emb (E, T, F'); V planes (D, D, K, F');
-    inv eigenvalues (D, K, F'); logdet/weight (K, F'); global
-    spectral state resident whole:
-      'vmf':      mu (E, K), kappa/logC (2, K)
-      'gaussian': precision-scaled mean (E, K), per-dim precisions
-                  (E, K), log-norm constants (1, K)
+    inv eigenvalues (D, K, F'); logdet/weight (K, F'); spectral
+    state PER LANE (constant over lanes for a single fit; folding
+    leading batch axes into the bin axis gives each utterance its
+    own columns):
+      'vmf':      mu (E, K, F'), kappa/logC (2, K, F')
+      'gaussian': precision-scaled mean (E, K, F'), per-dim
+                  precisions (E, K, F'), log-norm constants (1, K, F')
     Outputs: scatter planes (D, D, K, F'), affiliation sums (K, F'),
     resultants ``sum_t a e`` (E, K, F'); 'gaussian' additionally the
     per-dim second moments ``sum_t a e^2`` (E, K, F').
@@ -250,16 +253,21 @@ def e_stats_staged(y_re_s, y_im_s, emb_s, v_re, v_im,
             from :func:`stage_observation`.
         v_re / v_im: (F, K, D, D) covariance eigenvector planes.
         inv_eigenvalues: (F, K, D); logdet / weight: (F, K).
-        mu / kappa / log_c — global spectral state, by mode:
-            'vmf': vMF means (K, E); concentrations (K,); log
-                norms (K,).
-            'gaussian': precision-scaled means ``P mu`` (K, E);
-                per-dim precisions (K, E) (spherical: broadcast the
-                scalar); constants ``0.5 mu.P.mu + log_norm`` (K,).
+        mu / kappa / log_c — per-bin spectral state (constant over
+        the F axis for a single fit; leading batch axes folded into
+        F carry each utterance's own state), by mode:
+            'vmf': vMF means (F, K, E); concentrations (F, K); log
+                norms (F, K).
+            'gaussian': precision-scaled means ``P mu`` (F, K, E);
+                per-dim precisions (F, K, E) (spherical: broadcast
+                the scalar); constants ``0.5 mu.P.mu + log_norm``
+                (F, K).
     Returns:
         (scatter (F, K, D, D) complex64 = sum_t (a/q) y y^H,
-        affiliation_sum (F, K), resultants (K, E) = sum_ft a e
-        [, second moments (K, E) = sum_ft a e^2 in 'gaussian' mode]).
+        affiliation_sum (F, K), resultants (F, K, E) = sum_t a e
+        [, second moments (F, K, E) = sum_t a e^2 in 'gaussian'
+        mode]; the caller reduces resultants/moments over its
+        per-utterance bin ranges).
     """
     D, t_pad, f_pad = y_re_s.shape
     E = emb_s.shape[0]
@@ -280,19 +288,31 @@ def e_stats_staged(y_re_s, y_im_s, emb_s, v_re, v_im,
                        ((0, 0), (0, f_pad - F)))
     weight_s = jnp.pad(jnp.transpose(weight.astype(jnp.float32)),
                        ((0, 0), (0, f_pad - F)))
-    mu_s = jnp.transpose(mu.astype(jnp.float32))  # (E, K)
+    def stage_fke(x):
+        # (F, K, E) -> (E, K, f_pad)
+        x = jnp.transpose(x.astype(jnp.float32), (2, 1, 0))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, f_pad - F)))
+
+    def stage_fk(x):
+        # (F, K) -> (K, f_pad)
+        x = jnp.transpose(x.astype(jnp.float32))
+        return jnp.pad(x, ((0, 0), (0, f_pad - F)))
+
+    mu_s = stage_fke(mu)  # (E, K, f_pad)
     if spectral_mode == 'vmf':
-        extra_in = [jnp.stack([kappa.astype(jnp.float32),
-                               log_c.astype(jnp.float32)])]  # (2, K)
-        extra_in_specs = [pl.BlockSpec((2, K), lambda i: (0, 0))]
+        extra_in = [jnp.stack([stage_fk(kappa),
+                               stage_fk(log_c)], 0)]  # (2, K, f_pad)
+        extra_in_specs = [
+            pl.BlockSpec((2, K, tile_f), lambda i: (0, 0, i))]
         extra_out_specs = []
         extra_out_shape = []
     else:
         assert spectral_mode == 'gaussian', spectral_mode
-        extra_in = [jnp.transpose(kappa.astype(jnp.float32)),  # (E, K)
-                    log_c.astype(jnp.float32)[None]]  # (1, K)
-        extra_in_specs = [pl.BlockSpec((E, K), lambda i: (0, 0)),
-                          pl.BlockSpec((1, K), lambda i: (0, 0))]
+        extra_in = [stage_fke(kappa),  # precisions (E, K, f_pad)
+                    stage_fk(log_c)[None]]  # (1, K, f_pad)
+        extra_in_specs = [
+            pl.BlockSpec((E, K, tile_f), lambda i: (0, 0, i)),
+            pl.BlockSpec((1, K, tile_f), lambda i: (0, 0, i))]
         extra_out_specs = [
             pl.BlockSpec((E, K, tile_f), lambda i: (0, 0, i))]
         extra_out_shape = [
@@ -317,7 +337,7 @@ def e_stats_staged(y_re_s, y_im_s, emb_s, v_re, v_im,
             pl.BlockSpec((D, K, tile_f), lambda i: (0, 0, i)),
             pl.BlockSpec((K, tile_f), lambda i: (0, i)),
             pl.BlockSpec((K, tile_f), lambda i: (0, i)),
-            pl.BlockSpec((E, K), lambda i: (0, 0)),
+            pl.BlockSpec((E, K, tile_f), lambda i: (0, 0, i)),
             *extra_in_specs,
         ],
         out_specs=[
@@ -341,9 +361,9 @@ def e_stats_staged(y_re_s, y_im_s, emb_s, v_re, v_im,
     scatter = (jnp.transpose(s_re, (3, 2, 0, 1))
                + 1j * jnp.transpose(s_im, (3, 2, 0, 1)))[:F]
     affiliation_sum = jnp.transpose(asum)[:F]  # (F, K)
-    resultants = jnp.sum(r[..., :F], axis=-1).T  # (K, E)
+    resultants = jnp.transpose(r, (2, 1, 0))[:F]  # (F, K, E)
     if spectral_mode == 'gaussian':
-        second_moments = jnp.sum(extra[0][..., :F], axis=-1).T  # (K, E)
+        second_moments = jnp.transpose(extra[0], (2, 1, 0))[:F]
         return scatter, affiliation_sum, resultants, second_moments
     return scatter, affiliation_sum, resultants
 
@@ -370,9 +390,13 @@ def vmfcacgmm_e_stats(y_re, y_im, embedding, v_re, v_im,
                 f'signal too long for the fused integration E-step '
                 f'(T={T}, D={D}, E={E})')
     staged = stage_observation(y_re, y_im, embedding, tile_f=tile_f)
-    return e_stats_staged(
-        *staged, v_re, v_im, inv_eigenvalues, logdet, weight, mu,
-        kappa, log_c, f_real=F, t_real=T,
+    scatter, asum, r = e_stats_staged(
+        *staged, v_re, v_im, inv_eigenvalues, logdet, weight,
+        jnp.broadcast_to(mu[None], (F,) + mu.shape),
+        jnp.broadcast_to(kappa[None], (F,) + kappa.shape),
+        jnp.broadcast_to(log_c[None], (F,) + log_c.shape),
+        f_real=F, t_real=T,
         spatial_weight=spatial_weight, spectral_weight=spectral_weight,
         affiliation_eps=affiliation_eps, tile_f=tile_f,
         interpret=interpret)
+    return scatter, asum, jnp.sum(r, axis=0)  # global resultants

@@ -181,6 +181,51 @@ def test_gcacgmm_fused_fixed_covariance():
                     atol=1e-4)
 
 
+@pytest.mark.parametrize('model', ['vmf', 'gcacg'])
+def test_batched_fit_folds_into_bins(model):
+    """(B, F, T, D) fits: the fused 4D path must equal per-utterance
+    3D fused fits exactly (same folding semantics), and the scan path
+    must broadcast correctly."""
+    from pb_bss_tpu.models.gcacgmm import GCACGMMTrainer
+    rng = np.random.default_rng(5)
+    B, F, T, D, E, K = 2, 9, 32, 3, 6, 2
+    obs = (rng.standard_normal((B, F, T, D))
+           + 1j * rng.standard_normal((B, F, T, D))
+           ).astype(np.complex64)
+    obs /= np.linalg.norm(obs, axis=-1, keepdims=True)
+    emb = rng.standard_normal((B, F, T, E)).astype(np.float32)
+    init = rng.uniform(size=(B, F, K, T)).astype(np.float32)
+    init /= init.sum(-2, keepdims=True)
+
+    if model == 'vmf':
+        tr = VMFCACGMMTrainer()
+        kw = {}
+    else:
+        tr = GCACGMMTrainer()
+        kw = {'covariance_type': 'spherical'}
+    m4 = tr.fit(jnp.asarray(obs), jnp.asarray(emb),
+                initialization=jnp.asarray(init), iterations=3,
+                use_fused_em=True, **kw)
+    ms = tr.fit(jnp.asarray(obs), jnp.asarray(emb),
+                initialization=jnp.asarray(init), iterations=3,
+                use_fused_em=False, **kw)
+    assert m4.weight.shape == (B, F, K)
+    assert_allclose(np.asarray(m4.weight, np.float64),
+                    np.asarray(ms.weight, np.float64), atol=1e-4)
+    for b in range(B):
+        m3 = tr.fit(jnp.asarray(obs[b]), jnp.asarray(emb[b]),
+                    initialization=jnp.asarray(init[b]), iterations=3,
+                    use_fused_em=True, **kw)
+        assert_allclose(np.asarray(m4.weight[b]),
+                        np.asarray(m3.weight), atol=0)
+        assert_allclose(np.asarray(m4.cacg.covariance_eigenvalues[b]),
+                        np.asarray(m3.cacg.covariance_eigenvalues),
+                        atol=0)
+    aff = m4.predict(jnp.asarray(obs), jnp.asarray(emb))
+    assert aff.shape == (B, F, K, T)
+    assert_allclose(np.asarray(aff.sum(-2)), 1.0, atol=1e-5)
+
+
 def test_fused_ineligible_on_cpu_auto():
     """'auto' must not route to the (interpret, slow) kernel on CPU."""
     from pb_bss_tpu.models.vmfcacgmm import _fused_integration_eligible
