@@ -31,7 +31,10 @@ def run_em(
     Args:
         affiliation: initial responsibilities (..., K, N).
         iterations: number of M-steps (> 0).
-        m_step: affiliation -> model (pure, jit-compatible).
+        m_step: affiliation -> model (pure, jit-compatible). A
+            two-parameter ``m_step(affiliation, previous_model)``
+            receives the carry model (None on the first call) —
+            for warm-startable M-step solvers.
         e_step: model -> affiliation (pure, jit-compatible).
         aligner: optional inline permutation aligner applied to the
             E-step output (requires (F, K, T) affiliations).
@@ -40,6 +43,12 @@ def run_em(
         The fitted model pytree.
     """
     assert iterations > 0, iterations
+
+    import inspect
+    takes_model = len(inspect.signature(m_step).parameters) >= 2
+    if not takes_model:
+        orig_m_step = m_step
+        m_step = lambda affiliation, _model: orig_m_step(affiliation)
 
     def e_then_m(model):
         affiliation = e_step(model)
@@ -52,9 +61,9 @@ def run_em(
                 weight_constant_axis=weight_constant_axis,
                 aligner=aligner,
             )
-        return m_step(affiliation)
+        return m_step(affiliation, model)
 
-    model = m_step(affiliation)
+    model = m_step(affiliation, None)
     if iterations > 1:
         def step(model, _):
             return e_then_m(model), None

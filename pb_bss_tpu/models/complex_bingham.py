@@ -111,8 +111,9 @@ def _log_norm_dd(eigenvalues):
     kernel: every intermediate is a nonnegative confluent divided
     difference, so there is NO cancellation — f32-safe for any node
     spacing (including exact duplicates), unlike the
-    partial-fraction form. Accurate for ``|lambda| <~ 2048``
-    (static squaring count; the trainer clips concentrations to 500).
+    partial-fraction form. Accurate for ``|lambda| <~ 32768`` (static
+    squaring count; :func:`find_eigenvalues` clamps its iterates to
+    this domain).
     """
     eigenvalues = jnp.asarray(eigenvalues)
     D = eigenvalues.shape[-1]
@@ -120,16 +121,20 @@ def _log_norm_dd(eigenvalues):
     lam = eigenvalues - lmax  # <= 0
     eye = jnp.eye(D, dtype=lam.dtype)
     J = jnp.eye(D, k=1, dtype=lam.dtype) + lam[..., None] * eye
-    squarings = 11  # 2^11 = 2048
+    squarings = 15  # 2^15 = 32768
     A = J * (2.0 ** -squarings)
     # exp(A) by Taylor: ||A|| <= ~1, 13 terms -> ~1e-10 relative
+    # HIGHEST: the default TPU bf16 matmul precision destroys the
+    # squaring cascade (measured NaN affiliations on device)
     E = eye + A
     term = A
     for k in range(2, 14):
-        term = jnp.einsum('...ij,...jk->...ik', term, A) / k
+        term = jnp.einsum('...ij,...jk->...ik', term, A,
+                          precision=jax.lax.Precision.HIGHEST) / k
         E = E + term
     for _ in range(squarings):
-        E = jnp.einsum('...ij,...jk->...ik', E, E)
+        E = jnp.einsum('...ij,...jk->...ik', E, E,
+                       precision=jax.lax.Precision.HIGHEST)
     dd = jnp.maximum(E[..., 0, D - 1], _tiny(lam))
     return (jnp.log(2.0) + D * jnp.log(jnp.pi)
             + lmax[..., 0] + jnp.log(dd))
@@ -187,7 +192,7 @@ def _grad_log_norm(eigenvalues):
 @functools.partial(
     jax.jit, static_argnames=('max_concentration', 'eps', 'iterations'))
 def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
-                     eps=None, iterations=50):
+                     eps=None, iterations=50, warm_start=None):
     """Invert the moment equations: find Bingham eigenvalues ``lambda``
     (max pinned to 0) with ``grad log c(lambda) = scatter_eigenvalues``.
 
@@ -200,6 +205,11 @@ def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
     Args:
         scatter_eigenvalues: (..., D) nonnegative moments (rows sum to
             one when the scatter has unit trace).
+        warm_start: optional (..., D) previous solution (ascending,
+            max pinned to 0) used as the Newton initialization — EM
+            loops converge in a handful of steps from the previous
+            iteration's eigenvalues instead of the cold 50
+            (pass a matching small ``iterations``).
     Returns:
         (..., D) Bingham eigenvalues in the input's element order.
     """
@@ -214,19 +224,30 @@ def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
     # the diff lower bound must stay representable after cumsum at
     # concentration scale -> dtype-aware like the spacing eps
     upper = -_default_spacing_eps(dtype)
-    lower = -max_concentration if np.isfinite(max_concentration) else None
+    # Keep every iterate inside _log_norm_dd's exact domain:
+    # |lambda| <= 32768 after the cumsum over D-1 diffs. The cap only
+    # binds for moments <~ 3e-5 (lambda ~ -1/s), where eigh noise
+    # dominates anyway; the reference's unbounded f64
+    # scipy.least_squares can return e.g. -1e12 for a zero moment —
+    # in f32 that initialization alone produced NaNs.
+    cap_total = 32768.0
+    mc_eff = min(float(max_concentration), cap_total / (D - 1))
+    lower = -mc_eff
+    user_bounded = np.isfinite(max_concentration)
 
-    def solve_one(s_vec):
-        # init: lambda ~ -1/s (exact in the high-concentration limit),
-        # largest pinned to 0 (reference :371-383)
-        x0 = -1.0 / jnp.maximum(s_vec, 1e-12)
-        x0 = x0.at[-1].set(0.0)
-        if lower is not None:
+    def solve_one(s_vec, x_warm=None):
+        if x_warm is None:
+            # init: lambda ~ -1/s (exact in the high-concentration
+            # limit), largest pinned to 0 (reference :371-383)
+            x0 = -1.0 / jnp.maximum(s_vec, 1e-12)
+            x0 = x0.at[-1].set(0.0)
             x0 = jnp.maximum(
                 x0,
-                -(max_concentration
+                -(min(float(max_concentration), cap_total)
                   - jnp.arange(D, dtype=dtype)),
             )
+        else:
+            x0 = jnp.sort(x_warm.astype(dtype))
         u0 = -jnp.diff(x0)  # (D-1,), all <= 0
 
         def lam_of(u):
@@ -238,20 +259,49 @@ def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
             return _grad_log_norm(lam_of(u)) - s_vec
 
         def clip(u):
-            u = jnp.minimum(u, upper)
-            if lower is not None:
-                u = jnp.maximum(u, lower)
-            return u
+            return jnp.maximum(jnp.minimum(u, upper), lower)
 
         jac = jax.jacfwd(residual)
+        u0 = clip(u0)
+
+        if x_warm is not None:
+            # chord Gauss-Newton: warm starts sit close to the
+            # solution, so ONE Jacobian (factorized once) and full
+            # undamped steps converge — ~5x fewer expm evaluations
+            # per M-step than the damped exact-Newton cold solver
+            J0 = jac(u0)
+            JtJ0 = jnp.einsum(
+                'ij,ik->jk', J0, J0,
+                precision=jax.lax.Precision.HIGHEST,
+            ) + 1e-12 * jnp.eye(D - 1, dtype=dtype)
+            JtJ0_inv = jnp.linalg.inv(JtJ0)
+
+            def chord_step(u, _):
+                r = residual(u)
+                delta = JtJ0_inv @ jnp.einsum(
+                    'ij,i->j', J0, r,
+                    precision=jax.lax.Precision.HIGHEST)
+                return clip(u - jnp.clip(delta, -1e3, 1e3)), None
+
+            u, _ = lax.scan(chord_step, u0, None, length=iterations)
+            est = lam_of(u)
+            if user_bounded:
+                est = jnp.maximum(est, -max_concentration)
+                _, est = _remove_duplicate_eigenvalues(est, eps=eps)
+            return est
 
         def newton_step(u, _):
             r = residual(u)  # (D,), but only D-1 free variables
             J = jac(u)  # (D, D-1)
             # Gauss-Newton step for the overdetermined square-ish
             # system (residual sums to zero, so rank is D-1).
-            JtJ = J.T @ J + 1e-12 * jnp.eye(D - 1, dtype=dtype)
-            delta = jnp.linalg.solve(JtJ, J.T @ r)
+            JtJ = jnp.einsum(
+                'ij,ik->jk', J, J,
+                precision=jax.lax.Precision.HIGHEST,
+            ) + 1e-12 * jnp.eye(D - 1, dtype=dtype)
+            delta = jnp.linalg.solve(JtJ, jnp.einsum(
+                'ij,i->j', J, r,
+                precision=jax.lax.Precision.HIGHEST))
             # trust region: limit the step magnitude
             delta = jnp.clip(delta, -1e3, 1e3)
             u_full = clip(u - delta)
@@ -260,16 +310,20 @@ def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
                 <= jnp.sum(residual(u_half) ** 2)
             return jnp.where(better, u_full, u_half), None
 
-        u0 = clip(u0)
         u, _ = lax.scan(newton_step, u0, None, length=iterations)
         est = lam_of(u)
-        if lower is not None:
+        if user_bounded:
             est = jnp.maximum(est, -max_concentration)
             _, est = _remove_duplicate_eigenvalues(est, eps=eps)
         return est
 
     flat = s_sorted.reshape((-1, D))
-    solved = jax.vmap(solve_one)(flat).reshape(s_sorted.shape)
+    if warm_start is None:
+        solved = jax.vmap(solve_one)(flat)
+    else:
+        warm_flat = jnp.asarray(warm_start).reshape((-1, D))
+        solved = jax.vmap(solve_one)(flat, warm_flat)
+    solved = solved.reshape(s_sorted.shape)
     return jnp.take_along_axis(solved, inverse_permutation, axis=-1)
 
 
@@ -322,7 +376,8 @@ class ComplexBinghamTrainer:
             )
         return self._fit(y, saliency=saliency)
 
-    def _fit(self, y, saliency) -> ComplexBingham:
+    def _fit(self, y, saliency, warm_start=None,
+             solver_iterations=None) -> ComplexBingham:
         if saliency is None:
             covariance = jnp.einsum(
                 '...nd,...nD->...dD', y, y.conj(),
@@ -344,6 +399,9 @@ class ComplexBinghamTrainer:
             max_concentration=float(self.max_concentration)
             if np.isfinite(self.max_concentration) else np.inf,
             eps=self.eignevalue_eps,
+            iterations=(50 if solver_iterations is None
+                        else solver_iterations),
+            warm_start=warm_start,
         )
         return ComplexBingham(
             covariance_eigenvectors=eigenvecs,

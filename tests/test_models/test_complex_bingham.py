@@ -184,3 +184,61 @@ class TestCBMM:
         affiliation = np.asarray(model.predict(y))
         assert affiliation.shape == (F, 2, T)
         assert_allclose(affiliation.sum(-2), 1.0, rtol=1e-5)
+
+    def test_warm_start_em_quality(self):
+        """The warm-started inverse-moment Newton (10 steps from the
+        previous EM iteration's eigenvalues) must reach the same EM
+        objective as the cold 50-step solver; trajectories may differ
+        (local-path noise), so compare total log-likelihood."""
+        import jax
+        import jax.numpy as jnp
+        from jax.scipy.special import logsumexp
+        import pb_bss_tpu.models.complex_bingham as cb
+
+        rng = np.random.RandomState(3)
+        F, T, D, K = 13, 80, 4, 2
+        y = (rng.randn(F, T, D) + 1j * rng.randn(F, T, D)).astype(
+            np.complex64)
+        yj = jnp.asarray(y)
+
+        def loglik(m):
+            yn = yj / jnp.linalg.norm(yj, axis=-1, keepdims=True)
+            lp = m.complex_bingham.log_pdf(yn[..., None, :, :])
+            return float(jnp.sum(
+                logsumexp(jnp.log(m.weight) + lp, axis=-2)))
+
+        m_warm = CBMMTrainer().fit(yj, num_classes=K, iterations=8)
+        orig_fit = cb.ComplexBinghamTrainer._fit
+
+        def cold(self, y, saliency, warm_start=None,
+                 solver_iterations=None):
+            return orig_fit(self, y, saliency)
+
+        cb.ComplexBinghamTrainer._fit = cold
+        try:
+            jax.clear_caches()
+            m_cold = CBMMTrainer().fit(yj, num_classes=K, iterations=8)
+        finally:
+            cb.ComplexBinghamTrainer._fit = orig_fit
+        ll_w, ll_c = loglik(m_warm), loglik(m_cold)
+        assert abs(ll_w - ll_c) / abs(ll_c) < 1e-3, (ll_w, ll_c)
+
+    def test_f32_degenerate_moments_stay_finite(self):
+        """Near-zero f32 moments (point-like scatter) must not NaN:
+        the solver clamps its iterates to the dd norm's exact domain
+        (the unbounded -1/s init alone overflows f32)."""
+        import jax
+        import jax.numpy as jnp
+        from pb_bss_tpu.models.complex_bingham import (
+            _grad_log_norm, find_eigenvalues)
+        rng = np.random.RandomState(0)
+        s = np.sort(rng.dirichlet(
+            np.ones(6) * 0.7, size=(64,)).astype(np.float32), -1)
+        s[0, :3] = [0.0, 1e-12, 1e-7]  # degenerate rows
+        s[0] /= s[0].sum()
+        lam = np.asarray(find_eigenvalues(jnp.asarray(s)))
+        assert np.isfinite(lam).all()
+        g = np.asarray(jax.vmap(_grad_log_norm)(jnp.asarray(lam)))
+        # moments reproduced except where clamped (tiny moments)
+        mask = s > 1e-3
+        assert np.abs((g - s) * mask).max() < 5e-3
