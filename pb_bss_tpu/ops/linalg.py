@@ -316,21 +316,31 @@ def stable_solve(a, b, *, hermitian=False):
     assert a.shape[:-2] == b.shape[:-2], (a.shape, b.shape)
     assert a.shape[-1] == b.shape[-2], (a.shape, b.shape)
 
-    x = jnp.linalg.solve(a, b)
-    finite = jnp.all(jnp.isfinite(
-        jnp.abs(x) if jnp.iscomplexobj(x) else x), axis=(-2, -1))
-    # LU may also return finite garbage for (near-)singular systems;
-    # catch those with a relative residual check.
-    def _fro(m):
-        return jnp.sqrt(jnp.sum(jnp.real(m * m.conj()), axis=(-2, -1)))
-    x_safe = jnp.where(finite[..., None, None], x, 0)
-    residual = _fro(jnp.einsum('...ij,...jn->...in', a, x_safe) - b)
-    # A valid least-squares solution always has residual <= ||b||; a
-    # garbage LU solution of a singular system does not.
-    tol = jnp.sqrt(jnp.finfo(_real_dtype(a.dtype)).eps)
-    bad = (~finite) | (residual > tol * jnp.maximum(_fro(b), _tiny(a.dtype)))
-    x_ls = solve_pinv(a, b, hermitian=hermitian)
-    return jnp.where(bad[..., None, None], x_ls, x_safe)
+    # Full f32 matmul precision: under the TPU default (bf16 passes)
+    # the LU factorization degrades AND every relative residual lands
+    # around 1e-2 — far above ``tol`` — so the gate below silently
+    # routed ALL bins to the pseudo-inverse fallback, whose own
+    # bf16-degraded solutions produced negative MVDR traces
+    # (overflowing beamformers) on device.
+    with jax.default_matmul_precision('float32'):
+        x = jnp.linalg.solve(a, b)
+        finite = jnp.all(jnp.isfinite(
+            jnp.abs(x) if jnp.iscomplexobj(x) else x), axis=(-2, -1))
+        # LU may also return finite garbage for (near-)singular
+        # systems; catch those with a relative residual check.
+        def _fro(m):
+            return jnp.sqrt(
+                jnp.sum(jnp.real(m * m.conj()), axis=(-2, -1)))
+        x_safe = jnp.where(finite[..., None, None], x, 0)
+        residual = _fro(
+            jnp.einsum('...ij,...jn->...in', a, x_safe) - b)
+        # A valid least-squares solution always has residual <=
+        # ||b||; a garbage LU solution of a singular system does not.
+        tol = jnp.sqrt(jnp.finfo(_real_dtype(a.dtype)).eps)
+        bad = (~finite) | (
+            residual > tol * jnp.maximum(_fro(b), _tiny(a.dtype)))
+        x_ls = solve_pinv(a, b, hermitian=hermitian)
+        return jnp.where(bad[..., None, None], x_ls, x_safe)
 
 
 def condition_hermitian(x, gamma=1e-10):
