@@ -28,6 +28,7 @@ __all__ = [
     'shard_frequencies',
     'shard_batch_and_frequencies',
     'fit_cacgmm_sharded',
+    'fit_integration_sharded',
 ]
 
 
@@ -96,6 +97,52 @@ def fit_cacgmm_sharded(
                           frequency_axis=frequency_axis)
     return CACGMMTrainer().fit(
         y,
+        initialization=initialization,
+        num_classes=num_classes,
+        iterations=iterations,
+        **fit_kwargs,
+    )
+
+
+def fit_integration_sharded(
+        observation,
+        embedding,
+        mesh,
+        *,
+        model='vmfcacgmm',
+        num_classes=None,
+        initialization=None,
+        iterations=100,
+        frequency_axis=0,
+        **fit_kwargs,
+):
+    """Run an integration-model EM (vMF x cACG or Gaussian x cACG)
+    with the frequency axis sharded over ``mesh``.
+
+    Unlike the spatial-only mixtures, the spectral M-step reduces
+    over ALL frequencies (global vMF resultants / Gaussian moments,
+    reference vmfcacgmm.py:280-284) — under an ``'f'``-sharded mesh
+    that reduction is a cross-shard ``psum`` over ICI, which GSPMD
+    inserts automatically from the unchanged trainer program; the
+    per-frequency cACG M-step stays shard-local.
+
+    Args:
+        observation: (F, T, D) complex; embedding: (F, T, E) real.
+        model: 'vmfcacgmm' | 'gcacgmm'.
+    """
+    if model == 'vmfcacgmm':
+        from ..models.vmfcacgmm import VMFCACGMMTrainer as Trainer
+    elif model == 'gcacgmm':
+        from ..models.gcacgmm import GCACGMMTrainer as Trainer
+    else:
+        raise ValueError(model)
+    observation = shard_frequencies(
+        jnp.asarray(observation), mesh, frequency_axis=frequency_axis)
+    embedding = shard_frequencies(
+        jnp.asarray(embedding), mesh, frequency_axis=frequency_axis)
+    return Trainer().fit(
+        observation,
+        embedding,
         initialization=initialization,
         num_classes=num_classes,
         iterations=iterations,

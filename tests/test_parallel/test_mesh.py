@@ -136,3 +136,66 @@ def test_fused_em_kernel_under_frequency_sharding():
         np.asarray(m_local.cacg.covariance_eigenvalues),
         rtol=1e-4, atol=1e-5,
     )
+
+
+@needs_8_devices
+def test_integration_model_sharded_matches_replicated():
+    """vMF x cACG under 'f' sharding: the global spectral M-step
+    (resultants reduced over ALL frequencies) becomes a cross-shard
+    reduction GSPMD inserts; parameters must match the local fit."""
+    from pb_bss_tpu.parallel import fit_integration_sharded
+    from pb_bss_tpu.models.vmfcacgmm import VMFCACGMMTrainer
+
+    rng = np.random.default_rng(7)
+    F, T, D, E, K = 16, 40, 3, 6, 2
+    obs = jnp.asarray(
+        rng.standard_normal((F, T, D))
+        + 1j * rng.standard_normal((F, T, D)), jnp.complex64)
+    emb = jnp.asarray(
+        rng.standard_normal((F, T, E)), jnp.float32)
+    mesh = make_mesh((8,), ('f',))
+
+    m_sharded = fit_integration_sharded(
+        obs, emb, mesh, num_classes=K, iterations=4)
+    m_local = VMFCACGMMTrainer().fit(
+        obs, emb, num_classes=K, iterations=4)
+
+    # the global vMF state is THE cross-shard quantity
+    np.testing.assert_allclose(
+        np.asarray(m_sharded.vmf.mean), np.asarray(m_local.vmf.mean),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m_sharded.vmf.concentration),
+        np.asarray(m_local.vmf.concentration), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(m_sharded.weight), np.asarray(m_local.weight),
+        rtol=1e-4, atol=1e-5)
+
+
+@needs_8_devices
+def test_integration_model_fused_under_sharding():
+    """The fused per-iteration kernel path must also run under 'f'
+    sharding (interpret mode on CPU) and match its local result."""
+    from pb_bss_tpu.parallel import fit_integration_sharded
+    from pb_bss_tpu.models.gcacgmm import GCACGMMTrainer
+
+    rng = np.random.default_rng(8)
+    F, T, D, E, K = 16, 32, 3, 6, 2
+    obs = jnp.asarray(
+        rng.standard_normal((F, T, D))
+        + 1j * rng.standard_normal((F, T, D)), jnp.complex64)
+    emb = jnp.asarray(rng.standard_normal((F, T, E)), jnp.float32)
+    mesh = make_mesh((8,), ('f',))
+
+    m_sharded = fit_integration_sharded(
+        obs, emb, mesh, model='gcacgmm', num_classes=K, iterations=3,
+        use_fused_em=True)
+    m_local = GCACGMMTrainer().fit(
+        obs, emb, num_classes=K, iterations=3, use_fused_em=True)
+    np.testing.assert_allclose(
+        np.asarray(m_sharded.gaussian.mean),
+        np.asarray(m_local.gaussian.mean), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m_sharded.cacg.covariance_eigenvalues),
+        np.asarray(m_local.cacg.covariance_eigenvalues),
+        rtol=1e-3, atol=1e-4)
