@@ -106,3 +106,18 @@ def test_separate_batch_sharded():
         batch[:2], num_classes=3, iterations=5, beamformer='gev+ban'))
     assert bf.shape == (2, 3, observation.shape[-1])
     assert np.isfinite(bf).all()
+
+
+def test_integration_model_example_runs(capsys):
+    examples = pathlib.Path(__file__).parent.parent / 'examples'
+    sys.path.insert(0, str(examples))
+    try:
+        import integration_model_example
+        integration_model_example.main()
+    finally:
+        sys.path.remove(str(examples))
+    out = capsys.readouterr().out
+    # both integration models must clearly beat chance
+    for line in out.strip().splitlines():
+        acc = float(line.split('accuracy')[1].split('(')[0])
+        assert acc > 0.8, line
