@@ -346,6 +346,28 @@ def bench_extras():
     except Exception as e:  # pragma: no cover
         lines.append(f'vmfcacgmm config failed: {type(e).__name__}: {e}')
 
+    # config 3b: complex Bingham MM (warm-started chord-Newton M-step)
+    try:
+        from pb_bss_tpu.models.cbmm import CBMMTrainer
+        y = _make_data(seed=13)
+        inputs = [
+            (jnp.asarray(y.real + 1e-3 * rng.standard_normal(y.shape),
+                         np.float32),
+             jnp.asarray(y.imag, np.float32))
+            for _ in range(3)
+        ]
+        _ = np.asarray(fetch(sum(a.sum() + b.sum() for a, b in inputs)))
+
+        @jax.jit
+        def cbmm(y_re, y_im):
+            m = CBMMTrainer().fit(
+                y_re + 1j * y_im, num_classes=K, iterations=EM_ITERS)
+            return jnp.sum(m.complex_bingham.covariance_eigenvalues)
+        dt = timed(cbmm, inputs)
+        lines.append(f'cbmm20 {dt * 1e3:.1f} ms')
+    except Exception as e:  # pragma: no cover
+        lines.append(f'cbmm config failed: {type(e).__name__}: {e}')
+
     # config 4: batched 3-speaker separation incl. 513-bin PA
     try:
         from pb_bss_tpu.pipeline import separate_batch
