@@ -174,7 +174,8 @@ def get_mvdr_vector_merl(target_psd_matrix, noise_psd_matrix):
     (reference beamformer.py:263-289)."""
     target_psd_matrix = jnp.asarray(target_psd_matrix)
     noise_psd_matrix = jnp.asarray(noise_psd_matrix)
-    G = jnp.linalg.solve(noise_psd_matrix, target_psd_matrix)
+    with jax.default_matmul_precision('float32'):  # bf16-safe LU
+        G = jnp.linalg.solve(noise_psd_matrix, target_psd_matrix)
     lambda_ = jnp.trace(G, axis1=-2, axis2=-1)
     h = G / lambda_[..., None, None]
 

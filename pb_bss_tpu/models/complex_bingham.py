@@ -318,11 +318,15 @@ def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
         return est
 
     flat = s_sorted.reshape((-1, D))
-    if warm_start is None:
-        solved = jax.vmap(solve_one)(flat)
-    else:
-        warm_flat = jnp.asarray(warm_start).reshape((-1, D))
-        solved = jax.vmap(solve_one)(flat, warm_flat)
+    # f32 matmul precision for the embedded LU inverse/solve — the
+    # TPU default bf16 passes corrupt small linear solves (see
+    # ops/linalg.py stable_solve)
+    with jax.default_matmul_precision('float32'):
+        if warm_start is None:
+            solved = jax.vmap(solve_one)(flat)
+        else:
+            warm_flat = jnp.asarray(warm_start).reshape((-1, D))
+            solved = jax.vmap(solve_one)(flat, warm_flat)
     solved = solved.reshape(s_sorted.shape)
     return jnp.take_along_axis(solved, inverse_permutation, axis=-1)
 

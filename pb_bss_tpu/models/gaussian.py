@@ -58,11 +58,12 @@ class Gaussian(Model):
         """y: (..., N, D) -> (..., N)."""
         y = jnp.asarray(y)
         d = self.mean.shape[-1]
-        chol = jnp.linalg.cholesky(self.covariance)
-        difference = y - self.mean[..., None, :]
-        # white_x = L^-1 (y - mu): batched triangular solve
-        white_x = jax.scipy.linalg.solve_triangular(
-            chol, jnp.swapaxes(difference, -1, -2), lower=True)
+        with jax.default_matmul_precision('float32'):  # bf16-safe
+            chol = jnp.linalg.cholesky(self.covariance)
+            difference = y - self.mean[..., None, :]
+            # white_x = L^-1 (y - mu): batched triangular solve
+            white_x = jax.scipy.linalg.solve_triangular(
+                chol, jnp.swapaxes(difference, -1, -2), lower=True)
         log_det_precision_cholesky = -jnp.sum(jnp.log(
             jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
         return (

@@ -389,21 +389,25 @@ def gev_max_eigvec(target_psd_matrix, noise_psd_matrix, *,
     phi_nn = jnp.asarray(noise_psd_matrix)
     if condition:
         phi_nn = condition_hermitian(phi_nn, condition)
-    L = jnp.linalg.cholesky(phi_nn)
-    # C = L^-1 phi_xx L^-H
-    tmp = jax.scipy.linalg.solve_triangular(L, phi_xx, lower=True)
-    c = jax.scipy.linalg.solve_triangular(
-        L, tmp.conj().swapaxes(-1, -2), lower=True
-    ).conj().swapaxes(-1, -2)
-    c = force_hermitian(c)
-    # no sort: select the dominant eigenvector via a one-hot argmax
-    # contraction (cheaper than the sorting permutation)
-    w, v = eigh(c, sort=False)
-    sel = (jnp.argmax(w, axis=-1)[..., None]
-           == jnp.arange(w.shape[-1])).astype(v.dtype)
-    u = jnp.einsum('...de,...e->...d', v, sel)
-    # back-substitute: w = L^-H u
-    beam = jax.scipy.linalg.solve_triangular(
-        L.conj().swapaxes(-1, -2), u[..., None], lower=False
-    )[..., 0]
+    # full f32 matmul precision: the Cholesky whitening is the
+    # quality-critical stage of the beamformer (bf16 default passes
+    # degrade small factorizations, see stable_solve)
+    with jax.default_matmul_precision('float32'):
+        L = jnp.linalg.cholesky(phi_nn)
+        # C = L^-1 phi_xx L^-H
+        tmp = jax.scipy.linalg.solve_triangular(L, phi_xx, lower=True)
+        c = jax.scipy.linalg.solve_triangular(
+            L, tmp.conj().swapaxes(-1, -2), lower=True
+        ).conj().swapaxes(-1, -2)
+        c = force_hermitian(c)
+        # no sort: select the dominant eigenvector via a one-hot
+        # argmax contraction (cheaper than the sorting permutation)
+        w, v = eigh(c, sort=False)
+        sel = (jnp.argmax(w, axis=-1)[..., None]
+               == jnp.arange(w.shape[-1])).astype(v.dtype)
+        u = jnp.einsum('...de,...e->...d', v, sel)
+        # back-substitute: w = L^-H u
+        beam = jax.scipy.linalg.solve_triangular(
+            L.conj().swapaxes(-1, -2), u[..., None], lower=False
+        )[..., 0]
     return beam
