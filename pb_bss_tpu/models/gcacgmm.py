@@ -55,6 +55,31 @@ class GCACGMM(Model):
     spatial_weight: float = static_field(1.)
     spectral_weight: float = static_field(1.)
 
+    @classmethod
+    def from_dict(cls, d):
+        """Reconstructs the polymorphic ``gaussian`` field (its
+        annotation is ``Any`` — full/diagonal/spherical — so the
+        generic nested-model restore cannot resolve it; the variant
+        is identified by the covariance rank relative to the mean).
+        The reference's ``from_dict`` leaves nested models as dicts
+        entirely (reference distribution/utils.py:159-193 doctest)."""
+        model = super().from_dict(d)
+        g = model.gaussian
+        if isinstance(g, dict) and g.get('covariance') is not None:
+            from .gaussian import (
+                DiagonalGaussian, Gaussian, SphericalGaussian,
+            )
+            mean = jnp.asarray(g['mean'])
+            covariance = jnp.asarray(g['covariance'])
+            if covariance.ndim == mean.ndim + 1:
+                gaussian_cls = Gaussian
+            elif covariance.ndim == mean.ndim:
+                gaussian_cls = DiagonalGaussian
+            else:
+                gaussian_cls = SphericalGaussian
+            model = model.replace(gaussian=gaussian_cls.from_dict(g))
+        return model
+
     def predict(self, observation, embedding):
         """observation: (F, T, D) complex; embedding: (F, T, E) real.
         Returns affiliation (F, K, T)."""

@@ -129,3 +129,59 @@ class TestPytreeBehaviour:
         model, _ = _fitted_cacgmm()
         with pytest.raises(AttributeError, match='Close matches'):
             model.weigth  # typo on purpose
+
+
+class TestAllFamiliesRoundTrip:
+    """to_dict/from_dict + predict equivalence for every mixture
+    family (the reference's dict schema must cover them all,
+    reference distribution/utils.py:83-190)."""
+
+    @pytest.mark.parametrize('family', [
+        'cacgmm', 'cwmm', 'cbmm', 'vmfmm', 'gmm',
+        'gcacgmm', 'vmfcacgmm',
+    ])
+    def test_round_trip_predict(self, family):
+        rng = np.random.RandomState(1)
+        F, T, D, E, K = 5, 40, 3, 4, 2
+        yc = (rng.randn(F, T, D) + 1j * rng.randn(F, T, D)
+              ).astype(np.complex64)
+        emb = rng.randn(F, T, E).astype(np.float32)
+        yr = rng.randn(K * 30, E).astype(np.float32)
+
+        if family == 'cacgmm':
+            model = CACGMMTrainer().fit(yc, num_classes=K, iterations=2)
+            predict = lambda m: m.predict(yc)
+        elif family == 'cwmm':
+            from pb_bss_tpu.models import CWMMTrainer
+            model = CWMMTrainer().fit(yc, num_classes=K, iterations=2)
+            predict = lambda m: m.predict(yc)
+        elif family == 'cbmm':
+            from pb_bss_tpu.models import CBMMTrainer
+            model = CBMMTrainer(max_concentration=500).fit(
+                yc, num_classes=K, iterations=2)
+            predict = lambda m: m.predict(yc)
+        elif family == 'vmfmm':
+            from pb_bss_tpu.models import VMFMMTrainer
+            model = VMFMMTrainer().fit(yr, num_classes=K, iterations=2)
+            predict = lambda m: m.predict(yr)
+        elif family == 'gmm':
+            from pb_bss_tpu.models import GMMTrainer
+            model = GMMTrainer().fit(yr, num_classes=K, iterations=2)
+            predict = lambda m: m.predict(yr)
+        elif family == 'gcacgmm':
+            from pb_bss_tpu.models import GCACGMMTrainer
+            model = GCACGMMTrainer().fit(
+                yc, emb, num_classes=K, iterations=2)
+            predict = lambda m: m.predict(yc, emb)
+        else:
+            from pb_bss_tpu.models import VMFCACGMMTrainer
+            model = VMFCACGMMTrainer().fit(
+                yc, emb, num_classes=K, iterations=2)
+            predict = lambda m: m.predict(yc, emb)
+
+        d = model.to_dict()
+        restored = parameter_from_dict(type(model).__name__, d)
+        assert type(restored) is type(model)
+        assert_allclose(
+            np.asarray(predict(restored)), np.asarray(predict(model)),
+            atol=1e-6)
