@@ -186,6 +186,9 @@ class GCACGMMTrainer:
         )
 
         *batch, F, T, D = observation.shape
+        assert not (batch and inline_permutation_alignment), (
+            'inline permutation alignment needs (F, T, D) '
+            'observations (no leading batch axes)', observation.shape)
 
         if initialization is None and num_classes is not None:
             if key is None:
