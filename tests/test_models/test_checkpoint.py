@@ -60,3 +60,26 @@ def test_resume_from_checkpoint(model_and_data, tmp_path):
         y, initialization=restored, iterations=2)
     affiliation = np.asarray(resumed.predict(y))
     assert_allclose(affiliation.sum(-2), 1.0, rtol=1e-5)
+
+
+def test_npz_round_trip_integration_model(tmp_path):
+    """Integration-model checkpoint: nested vmf + cacg submodels and
+    the restored model must predict identically."""
+    import jax.numpy as jnp
+    from pb_bss_tpu.models import VMFCACGMMTrainer
+
+    rng = np.random.RandomState(2)
+    obs = jnp.asarray(
+        (rng.randn(5, 40, 3) + 1j * rng.randn(5, 40, 3)
+         ).astype(np.complex64))
+    emb = jnp.asarray(rng.randn(5, 40, 4).astype(np.float32))
+    model = VMFCACGMMTrainer().fit(
+        obs, emb, num_classes=2, iterations=3)
+
+    path = save_model_npz(tmp_path / 'integration.npz', model)
+    restored = load_model_npz(path, 'VMFCACGMM')
+    assert type(restored) is type(model)
+    assert type(restored.vmf) is type(model.vmf)
+    assert_allclose(
+        np.asarray(restored.predict(obs, emb)),
+        np.asarray(model.predict(obs, emb)))
