@@ -221,10 +221,20 @@ def _grad_log_norm(eigenvalues):
     return grad_dd / dd[..., None]
 
 
+def _pallas_solver_default(dtype, d):
+    """Auto-gate for the fused Pallas warm solver: non-CPU backend,
+    f32, sublane-sized D (same policy as ops/pallas_eigh.py)."""
+    return (jax.default_backend() != 'cpu'
+            and jnp.finfo(dtype).bits == 32
+            and 2 <= d <= 8)
+
+
 @functools.partial(
-    jax.jit, static_argnames=('max_concentration', 'eps', 'iterations'))
+    jax.jit, static_argnames=('max_concentration', 'eps', 'iterations',
+                              'use_pallas'))
 def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
-                     eps=None, iterations=50, warm_start=None):
+                     eps=None, iterations=50, warm_start=None,
+                     use_pallas=None):
     """Invert the moment equations: find Bingham eigenvalues ``lambda``
     (max pinned to 0) with ``grad log c(lambda) = scatter_eigenvalues``.
 
@@ -242,6 +252,12 @@ def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
             loops converge in a handful of steps from the previous
             iteration's eigenvalues instead of the cold 50
             (pass a matching small ``iterations``).
+        use_pallas: run the chord solve as Pallas kernel launches
+            (ops/pallas_bingham.py) instead of ~30 HLO ops per step:
+            warm solves are ONE launch, cold solves THREE (a finite-
+            difference Jacobian refresh per launch, from the -1/s
+            init). None = auto (TPU, f32, D <= 8); True on CPU runs
+            the kernel in interpret mode.
     Returns:
         (..., D) Bingham eigenvalues in the input's element order.
     """
@@ -350,12 +366,53 @@ def find_eigenvalues(scatter_eigenvalues, *, max_concentration=np.inf,
         return est
 
     flat = s_sorted.reshape((-1, D))
+    if use_pallas is None:
+        use_pallas = _pallas_solver_default(dtype, D)
     # f32 matmul precision for the embedded LU inverse/solve — the
     # TPU default bf16 passes corrupt small linear solves (see
     # ops/linalg.py stable_solve)
     with jax.default_matmul_precision('float32'):
-        if warm_start is None:
+        if warm_start is None and use_pallas:
+            from ..ops.pallas_bingham import bingham_chord_solve
+            # cold: -1/s init (exact in the high-concentration limit,
+            # reference :371-383), then chord rounds with a Jacobian
+            # REFRESH per kernel launch — 3 launches replace the 50
+            # damped-Newton HLO steps (same fixed point; ~60x fewer
+            # sequential ops)
+            x0 = -1.0 / jnp.maximum(flat, 1e-12)
+            x0 = jnp.concatenate(
+                [x0[:, :-1], jnp.zeros_like(x0[:, :1])], axis=-1)
+            x0 = jnp.maximum(
+                x0,
+                -(min(float(max_concentration), cap_total)
+                  - jnp.arange(D, dtype=dtype)),
+            )
+            est = x0.astype(jnp.float32)
+            for _ in range(3):
+                est = bingham_chord_solve(
+                    flat, est, iterations=10,
+                    lower=lower, upper=float(upper),
+                    interpret=jax.default_backend() == 'cpu')
+            est = est.astype(dtype)
+            if user_bounded:
+                est = jnp.maximum(est, -max_concentration)
+                _, est = _remove_duplicate_eigenvalues(est, eps=eps)
+            solved = est
+        elif warm_start is None:
             solved = jax.vmap(solve_one)(flat)
+        elif use_pallas:
+            from ..ops.pallas_bingham import bingham_chord_solve
+            warm_flat = jnp.sort(
+                jnp.asarray(warm_start).reshape((-1, D)), axis=-1)
+            est = bingham_chord_solve(
+                flat, warm_flat.astype(jnp.float32),
+                iterations=iterations, lower=lower, upper=float(upper),
+                interpret=jax.default_backend() == 'cpu',
+            ).astype(dtype)
+            if user_bounded:
+                est = jnp.maximum(est, -max_concentration)
+                _, est = _remove_duplicate_eigenvalues(est, eps=eps)
+            solved = est
         else:
             warm_flat = jnp.asarray(warm_start).reshape((-1, D))
             solved = jax.vmap(solve_one)(flat, warm_flat)
