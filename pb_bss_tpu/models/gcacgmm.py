@@ -207,15 +207,25 @@ class GCACGMMTrainer:
         if isinstance(weight_constant_axis, list):
             weight_constant_axis = tuple(weight_constant_axis)
 
-        if use_fused_em == 'auto':
-            from .vmfcacgmm import _fused_integration_eligible
-            use_fused_em = (
-                covariance_type in ('spherical', 'diagonal')
-                and _fused_integration_eligible(
-                    observation, embedding,
-                    initialization.shape[-2], saliency_arg,
-                    weight_constant_axis, inline_permutation_alignment)
-            )
+        from .vmfcacgmm import (
+            _fused_integration_eligible,
+            _resolve_fused_mode,
+            _whole_fit_integration_eligible,
+        )
+        vector_cov = covariance_type in ('spherical', 'diagonal')
+        use_fused_em = _resolve_fused_mode(
+            use_fused_em,
+            vector_cov and _fused_integration_eligible(
+                observation, embedding,
+                initialization.shape[-2], saliency_arg,
+                weight_constant_axis, inline_permutation_alignment),
+            vector_cov and fixed_covariance is None
+            and _whole_fit_integration_eligible(
+                observation, embedding,
+                initialization.shape[-2], saliency_arg,
+                weight_constant_axis, inline_permutation_alignment,
+                int(iterations), covariance_norm, bool(hermitize),
+                'gaussian'))
 
         return _gcacgmm_fit_em(
             observation, embedding, initialization, saliency,
@@ -231,7 +241,7 @@ class GCACGMMTrainer:
             spectral_weight=float(spectral_weight),
             inline_permutation_alignment=bool(
                 inline_permutation_alignment),
-            use_fused_em=bool(use_fused_em),
+            use_fused_em=use_fused_em,
         )
 
     def fit_predict(self, observation, embedding, initialization=None,
@@ -293,7 +303,7 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
                     covariance_norm, eigenvalue_floor, covariance_type,
                     affiliation_eps, weight_constant_axis, spatial_weight,
                     spectral_weight, inline_permutation_alignment,
-                    use_fused_em=False):
+                    use_fused_em='off'):
     *batch, F, T, D = observation.shape
     E = embedding.shape[-1]
     K = affiliation.shape[-2]
@@ -338,7 +348,102 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
 
     quadratic_form = jnp.ones_like(affiliation)
     model = m_step(affiliation, quadratic_form)
-    if iterations > 1 and use_fused_em:
+    if iterations > 1 and use_fused_em == 'loop':
+        # WHOLE-FIT single-launch kernel (see models/vmfcacgmm.py for
+        # the vMF twin): only the initial M-step and the final
+        # Gaussian moment-matching finish are XLA.
+        from ..ops.pallas_integration_em_loop import integration_em_full
+        f32 = jnp.float32
+        tiny = jnp.finfo(f32).tiny
+        fold = 1
+        for b in batch:
+            fold *= b
+        y_tl = jnp.reshape(
+            jnp.swapaxes(observation, -1, -2), (fold * F, D, T))
+        emb_tl = jnp.reshape(
+            jnp.swapaxes(embedding, -1, -2), (fold * F, E, T))
+        model = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.complex64)
+            if jnp.iscomplexobj(x) else x.astype(f32), model)
+        spherical = covariance_type == 'spherical'
+
+        def to_bins(x):
+            return jnp.reshape(x, (fold * F,) + x.shape[len(batch) + 1:])
+
+        def from_bins(x):
+            return jnp.reshape(x, (*batch, F) + x.shape[1:])
+
+        def spec_cols(x):  # (fold, K[, E]) -> packed rows
+            if x.ndim == 3:
+                return jnp.reshape(
+                    jnp.transpose(x, (2, 1, 0)), (E * K, fold))
+            return jnp.transpose(x)
+
+        g = model.gaussian
+        g_mean = jnp.reshape(g.mean, (fold, K, E))
+        if spherical:
+            cov = jnp.reshape(g.covariance, (fold, K))
+            prec = jnp.broadcast_to(
+                (1. / cov)[..., None], g_mean.shape)
+            ldpc = -0.5 * E * jnp.log(cov)
+        else:
+            cov = jnp.reshape(g.covariance, (fold, K, E))
+            prec = 1. / cov
+            ldpc = -0.5 * jnp.sum(jnp.log(cov), axis=-1)
+        const = (0.5 * E * jnp.log(2 * jnp.pi) - ldpc
+                 + 0.5 * jnp.sum(g_mean ** 2 * prec, axis=-1))
+        spec0 = jnp.concatenate([
+            spec_cols(prec * g_mean),
+            spec_cols(prec),
+            spec_cols(const),
+        ], axis=0)
+        vecs = model.cacg.covariance_eigenvectors
+        eigenvalues, vectors, weight, acc = integration_em_full(
+            y_tl.real.astype(f32),
+            y_tl.imag.astype(f32),
+            emb_tl.astype(f32),
+            to_bins(vecs.real.astype(f32)),
+            to_bins(vecs.imag.astype(f32)),
+            to_bins(model.cacg.covariance_eigenvalues),
+            to_bins(model.weight),
+            spec0,
+            n_utt=fold, iterations=iterations - 1,
+            spatial_weight=spatial_weight,
+            spectral_weight=spectral_weight,
+            affiliation_eps=affiliation_eps,
+            eigenvalue_floor=eigenvalue_floor,
+            spectral_mode='gaussian', spherical=spherical,
+            interpret=jax.default_backend() == 'cpu')
+        # Gaussian finish of the last E-step's moments (exactly the
+        # fused_step XLA closed form, reference gaussian.py:133-167)
+        r = jnp.transpose(
+            jnp.reshape(acc[:E * K], (E, K, fold)), (2, 1, 0))
+        n = jnp.transpose(acc[E * K:E * K + K])  # (fold, K)
+        m2 = jnp.transpose(
+            jnp.reshape(acc[E * K + K:], (E, K, fold)), (2, 1, 0))
+        denom = jnp.maximum(n, tiny)
+        mean = r / denom[..., None]
+        centered = jnp.maximum(
+            m2 / denom[..., None] - mean ** 2, tiny)
+        covariance = (jnp.mean(centered, axis=-1) if spherical
+                      else centered)
+
+        def spec_shape(x):
+            return jnp.reshape(x, tuple(batch) + x.shape[1:])
+
+        return GCACGMM(
+            weight=from_bins(weight),
+            gaussian=g.__class__(
+                mean=spec_shape(mean),
+                covariance=spec_shape(covariance)),
+            cacg=ComplexAngularCentralGaussian(
+                covariance_eigenvalues=from_bins(eigenvalues),
+                covariance_eigenvectors=from_bins(vectors)),
+            weight_constant_axis=weight_constant_axis,
+            spatial_weight=spatial_weight,
+            spectral_weight=spectral_weight,
+        )
+    if iterations > 1 and use_fused_em == 'step':
         from ..ops.pallas_integration_em import (
             choose_tile_f, e_stats_staged, stage_observation)
         tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8)

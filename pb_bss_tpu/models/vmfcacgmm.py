@@ -118,6 +118,51 @@ def _fused_integration_eligible(
     )
 
 
+def _whole_fit_integration_eligible(
+        observation, embedding, num_classes, saliency,
+        weight_constant_axis, inline_permutation_alignment,
+        iterations, covariance_norm, hermitize, spectral_mode):
+    """Route the EM to the WHOLE-FIT single-launch kernel
+    (ops/pallas_integration_em_loop.py)? Stricter than the
+    per-iteration gate: the in-kernel cACG M-step implements only the
+    'eigenvalue' covariance norm with hermitization, and the per-tile
+    persistent scratch must fit VMEM."""
+    from ..ops.pallas_integration_em_loop import choose_tile_f_loop
+    if not _fused_integration_eligible(
+            observation, embedding, num_classes, saliency,
+            weight_constant_axis, inline_permutation_alignment):
+        return False
+    if iterations < 2 or covariance_norm != 'eigenvalue' \
+            or not hermitize:
+        return False
+    *batch, F, T, D = observation.shape
+    E = embedding.shape[-1]
+    fold = 1
+    for b in batch:
+        fold *= b
+    if fold > 128:
+        return False
+    fits = choose_tile_f_loop(
+        D, E, num_classes, -(-T // 8) * 8, fold, spectral_mode)
+    fb = fold * F
+    return any(fits(tf, -(-fb // tf) * tf) for tf in (256, 128))
+
+
+def _resolve_fused_mode(use_fused_em, step_eligible, loop_eligible):
+    """'auto' prefers the whole-fit kernel; True keeps its historical
+    meaning (force the per-iteration kernel, interpret mode on CPU —
+    for tests); 'loop'/'step' force a specific kernel."""
+    if use_fused_em == 'auto':
+        return ('loop' if loop_eligible
+                else 'step' if step_eligible else 'off')
+    if use_fused_em == 'loop':
+        return 'loop'
+    if use_fused_em is True or use_fused_em == 'step':
+        return 'step'
+    assert use_fused_em is False, use_fused_em
+    return 'off'
+
+
 class VMFCACGMMTrainer:
     def fit(
             self,
@@ -189,11 +234,18 @@ class VMFCACGMMTrainer:
         if isinstance(weight_constant_axis, list):
             weight_constant_axis = tuple(weight_constant_axis)
 
-        if use_fused_em == 'auto':
-            use_fused_em = _fused_integration_eligible(
+        use_fused_em = _resolve_fused_mode(
+            use_fused_em,
+            _fused_integration_eligible(
                 observation, embedding,
                 initialization.shape[-2], saliency_arg,
-                weight_constant_axis, inline_permutation_alignment)
+                weight_constant_axis, inline_permutation_alignment),
+            _whole_fit_integration_eligible(
+                observation, embedding,
+                initialization.shape[-2], saliency_arg,
+                weight_constant_axis, inline_permutation_alignment,
+                int(iterations), covariance_norm, bool(hermitize),
+                'vmf'))
 
         return _vmfcacgmm_fit_em(
             observation, embedding, initialization, saliency,
@@ -209,7 +261,7 @@ class VMFCACGMMTrainer:
             spectral_weight=float(spectral_weight),
             inline_permutation_alignment=bool(
                 inline_permutation_alignment),
-            use_fused_em=bool(use_fused_em),
+            use_fused_em=use_fused_em,
         )
 
     def fit_predict(self, observation, embedding, initialization=None,
@@ -260,7 +312,7 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
                       affiliation_eps, weight_constant_axis,
                       spatial_weight, spectral_weight,
                       inline_permutation_alignment,
-                      use_fused_em=False):
+                      use_fused_em='off'):
     *batch, F, T, D = observation.shape
     E = embedding.shape[-1]
     K = affiliation.shape[-2]
@@ -303,7 +355,91 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
 
     quadratic_form = jnp.ones_like(affiliation)
     model = m_step(affiliation, quadratic_form)
-    if iterations > 1 and use_fused_em:
+    if iterations > 1 and use_fused_em == 'loop':
+        # WHOLE-FIT single-launch kernel: every E-step, cACG M-step
+        # (warm Jacobi) and spectral M-step ([Banerjee2005] + logC
+        # table) runs inside ONE Pallas launch; only the initial
+        # M-step (above) and the final spectral finish (below, from
+        # the returned accumulator rows) are XLA.
+        from ..ops.pallas_integration_em_loop import integration_em_full
+        f32 = jnp.float32
+        tiny = jnp.finfo(f32).tiny
+        fold = 1
+        for b in batch:
+            fold *= b
+        y_tl = jnp.reshape(
+            jnp.swapaxes(observation, -1, -2), (fold * F, D, T))
+        emb_tl = jnp.reshape(
+            jnp.swapaxes(embedding, -1, -2), (fold * F, E, T))
+        model = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.complex64)
+            if jnp.iscomplexobj(x) else x.astype(f32), model)
+
+        def to_bins(x):
+            return jnp.reshape(x, (fold * F,) + x.shape[len(batch) + 1:])
+
+        def from_bins(x):
+            return jnp.reshape(x, (*batch, F) + x.shape[1:])
+
+        def spec_cols(x):  # (*batch, K[, E]) -> rows over (fold,)
+            x = jnp.reshape(x, (fold,) + x.shape[len(batch):])
+            if x.ndim == 3:  # (fold, K, E) -> (E*K, fold), e-major
+                return jnp.reshape(
+                    jnp.transpose(x, (2, 1, 0)), (E * K, fold))
+            return jnp.transpose(x)  # (K, fold)
+
+        spec0 = jnp.concatenate([
+            spec_cols(model.vmf.mean),
+            spec_cols(model.vmf.concentration),
+            spec_cols(model.vmf.log_norm()),
+        ], axis=0)
+        vecs = model.cacg.covariance_eigenvectors
+        eigenvalues, vectors, weight, acc = integration_em_full(
+            y_tl.real.astype(f32),
+            y_tl.imag.astype(f32),
+            emb_tl.astype(f32),
+            to_bins(vecs.real.astype(f32)),
+            to_bins(vecs.imag.astype(f32)),
+            to_bins(model.cacg.covariance_eigenvalues),
+            to_bins(model.weight),
+            spec0,
+            n_utt=fold, iterations=iterations - 1,
+            spatial_weight=spatial_weight,
+            spectral_weight=spectral_weight,
+            affiliation_eps=affiliation_eps,
+            eigenvalue_floor=eigenvalue_floor,
+            min_concentration=min_concentration,
+            max_concentration=max_concentration,
+            spectral_mode='vmf',
+            interpret=jax.default_backend() == 'cpu')
+        # spectral finish of the last E-step's statistics (exactly the
+        # fused_step XLA closed form)
+        r = jnp.transpose(
+            jnp.reshape(acc[:E * K], (E, K, fold)), (2, 1, 0))
+        n = jnp.transpose(acc[E * K:])  # (fold, K)
+        norm = jnp.linalg.norm(r, axis=-1)
+        mean = r / jnp.maximum(norm, tiny)[..., None]
+        r_bar = norm / jnp.maximum(n, tiny)
+        concentration = jnp.clip(
+            (r_bar * E - r_bar ** 3) / (1 - r_bar ** 2),
+            min_concentration, max_concentration)
+
+        def spec_shape(x):  # (fold, K[, E]) -> (*batch, K[, E])
+            return jnp.reshape(x, tuple(batch) + x.shape[1:])
+
+        return VMFCACGMM(
+            weight=from_bins(weight),
+            vmf=VonMisesFisher(
+                mean=spec_shape(mean),
+                concentration=spec_shape(concentration)),
+            cacg=ComplexAngularCentralGaussian(
+                covariance_eigenvalues=from_bins(eigenvalues),
+                covariance_eigenvectors=from_bins(vectors)),
+            weight_constant_axis=weight_constant_axis,
+            spatial_weight=spatial_weight,
+            spectral_weight=spectral_weight,
+        )
+    if iterations > 1 and use_fused_em == 'step':
         from ..ops.pallas_integration_em import (
             choose_tile_f, e_stats_staged, stage_observation)
         tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8)
