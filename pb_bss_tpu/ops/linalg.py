@@ -367,7 +367,7 @@ def get_pca(target_psd_matrix, return_all_vecs=False):
 
 
 def gev_max_eigvec(target_psd_matrix, noise_psd_matrix, *,
-                   condition=0.0):
+                   condition=0.0, method='auto'):
     """Dominant generalized eigenvector of the pencil (phi_xx, phi_nn).
 
     TPU-native GEV kernel replacing the reference's per-bin LAPACK
@@ -376,6 +376,13 @@ def gev_max_eigvec(target_psd_matrix, noise_psd_matrix, *,
     ``L^-1 phi_xx L^-H`` and map the dominant eigenvector back with a
     triangular solve. The result is B-normalized (``w^H phi_nn w = 1``),
     matching LAPACK's convention.
+
+    ``method='auto'`` fuses all four stages (Cholesky, two triangular
+    solves, Jacobi, back-substitution) into ONE Pallas launch on TPU
+    for f32/c64 batches with D <= 16 (ops/pallas_gev.py) — the
+    separate Cholesky/triangular-solve HLOs are the dominant cost of
+    the XLA path at BSS sizes; ``method='xla'`` forces the staged
+    path.
 
     Args:
         target_psd_matrix: (..., D, D) Hermitian.
@@ -389,6 +396,11 @@ def gev_max_eigvec(target_psd_matrix, noise_psd_matrix, *,
     phi_nn = jnp.asarray(noise_psd_matrix)
     if condition:
         phi_nn = condition_hermitian(phi_nn, condition)
+    if method == 'auto' and _pallas_eligible(phi_nn):
+        method = 'pallas'
+    if method == 'pallas':
+        from .pallas_gev import gev_pallas
+        return gev_pallas(phi_xx, phi_nn)
     # full f32 matmul precision: the Cholesky whitening is the
     # quality-critical stage of the beamformer (bf16 default passes
     # degrade small factorizations, see stable_solve)
