@@ -4,8 +4,11 @@ iSTFT -> metrics on deterministic synthetic speech data.
 Mirrors /root/reference/tests/test_distribution/test_spatial_mm.py.
 The reference pins exact SDR gains on downloaded real audio; this
 framework generates its audio synthetically (pb_bss_tpu.testing.
-dummy_data), so the goldens are re-pinned for the new data/RNG while
-asserting substantial separation quality (the reference's quality bar).
+dummy_data).  The absolute thresholds here are a fast random-init
+smoke tier; the *quality-parity proof* is test_head_to_head.py, which
+runs the reference's own NumPy pipeline on the same audio with the
+same initialization and asserts repo Delta-SDR >= reference - 0.5 dB
+(the cACGMM masks agree to ~1e-11).
 """
 import jax
 import numpy as np
