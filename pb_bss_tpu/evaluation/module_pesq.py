@@ -2,13 +2,12 @@
 
 Capability parity with ``pb_bss/evaluation/module_pesq.py``: PESQ is an
 ITU standard implemented by the C library behind the ``pesq`` PyPI
-package; like the reference (module_pesq.py:36-44) this module wraps
-that optional dependency with independent-axis recursion and the
-nb/wb-mode-from-sample-rate convention, and raises a clear installation
-hint when the library is absent.
+package; this module adds batching over leading axes and the
+mode-from-sample-rate convention on top of that optional dependency,
+and raises a clear installation hint when the library is absent.
 
-Note (reference module_pesq.py:36-37): the pesq C code does not release
-the GIL and is not thread safe — keep calls single-threaded.
+Note: the pesq C code does not release the GIL and is not thread
+safe — keep calls single-threaded.
 """
 from __future__ import annotations
 
@@ -16,16 +15,17 @@ import numpy as np
 
 __all__ = ['pesq']
 
+# Modes the underlying C library accepts per sample rate.  8 kHz audio
+# only supports narrow-band; 16 kHz supports both and defaults to
+# wide-band.
+_MODES = {8000: ('nb',), 16000: ('wb', 'nb')}
 
-def pesq(reference, estimation, sample_rate, mode=None):
-    """PESQ MOS-LQO per signal; leading axes loop on the host.
 
-    Args:
-        reference / estimation: (..., num_samples).
-        sample_rate: 8000 ('nb') or 16000 ('wb' default, 'nb' allowed).
-    """
+def _scorer(sample_rate, mode):
+    """Resolve (and validate) the mode, import the backend, and return
+    a ``signal_pair -> MOS-LQO`` callable."""
     try:
-        import pesq as pesq_module
+        from pesq import pesq as pesq_fn
     except ImportError:
         raise AssertionError(
             'To use this pesq implementation, install pesq from\n'
@@ -33,32 +33,46 @@ def pesq(reference, estimation, sample_rate, mode=None):
             'or install it with `pip install pesq`'
         )
 
-    estimation, reference = np.broadcast_arrays(estimation, reference)
-
+    if sample_rate not in _MODES:
+        raise ValueError(sample_rate)
     if mode is None:
-        mode = {8000: 'nb', 16000: 'wb'}[sample_rate]
-    else:
-        if sample_rate == 16000:
-            assert mode in ['nb', 'wb'], (mode, sample_rate)
-        elif sample_rate == 8000:
-            assert mode == 'nb', (mode, sample_rate)
-        else:
-            raise ValueError(sample_rate)
+        mode = _MODES[sample_rate][0]
+    assert mode in _MODES[sample_rate], (mode, sample_rate)
 
+    return lambda ref, deg: pesq_fn(
+        ref=ref, deg=deg, fs=sample_rate, mode=mode)
+
+
+def pesq(reference, estimation, sample_rate, mode=None):
+    """PESQ MOS-LQO, batched over leading axes on the host.
+
+    Args:
+        reference: clean signal, shape (..., num_samples).
+        estimation: degraded signal, broadcastable to ``reference``.
+        sample_rate: 8000 or 16000.
+        mode: 'nb' / 'wb'; default derived from ``sample_rate``.
+
+    Returns:
+        Scalar for 1-D inputs, else an array of shape ``(...)``.
+    """
+    score = _scorer(sample_rate, mode)
+
+    estimation, reference = np.broadcast_arrays(estimation, reference)
     assert reference.shape == estimation.shape, (
         reference.shape, estimation.shape)
+    if reference.ndim == 0:
+        raise NotImplementedError(reference.ndim)
+    if reference.ndim == 1:
+        return score(reference, estimation)
 
-    if reference.ndim >= 2:
-        for i in range(reference.ndim - 1):
-            assert reference.shape[i] < 30, (
-                i, reference.shape, estimation.shape)
-        return np.array([
-            pesq_module.pesq(
-                ref=reference[i], deg=estimation[i],
-                fs=sample_rate, mode=mode)
-            for i in np.ndindex(*reference.shape[:-1])
-        ]).reshape(reference.shape[:-1])
-    elif reference.ndim == 1:
-        return pesq_module.pesq(
-            ref=reference, deg=estimation, fs=sample_rate, mode=mode)
-    raise NotImplementedError(reference.ndim)
+    batch_shape = reference.shape[:-1]
+    # A "batch" axis of >= 30 entries is almost certainly a sample or
+    # feature axis in the wrong position — refuse instead of grinding
+    # through thousands of C-library calls.
+    for axis, extent in enumerate(batch_shape):
+        assert extent < 30, (axis, reference.shape, estimation.shape)
+
+    flat_ref = reference.reshape((-1,) + reference.shape[-1:])
+    flat_est = estimation.reshape((-1,) + estimation.shape[-1:])
+    values = [score(r, e) for r, e in zip(flat_ref, flat_est)]
+    return np.array(values).reshape(batch_shape)
