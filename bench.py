@@ -427,7 +427,36 @@ def bench_extras():
     print('# extras: ' + '; '.join(lines), file=sys.stderr)
 
 
+def em_flops_per_iteration(f=F, k=K, t=T, d=D, eigh_sweeps=15):
+    """Analytic FLOP count of one cACGMM EM iteration (real FLOPs;
+    one complex multiply-add = 8).
+
+    Terms (see docs/DESIGN.md "FLOP model and MFU"):
+      E-step projection  z = V^H y        : 8 f k d^2 t
+      quadratic form     sum |z|^2 / ev   : 4 f k d t
+      posterior softmax  exp/log/normalize: ~12 f k t
+      M-step scatter     (hermitian upper): 4 f k d (d+1) t
+      batched Jacobi eigh (per sweep: d(d-1)/2 rotations, each
+      updating two rows + two columns of length d plus the 2x2
+      Schur solve)                        : sweeps f k d(d-1)/2 * 48 d
+    """
+    e_proj = 8 * f * k * d * d * t
+    quad = 4 * f * k * d * t
+    softmax = 12 * f * k * t
+    m_scatter = 4 * f * k * d * (d + 1) * t
+    jacobi = eigh_sweeps * f * k * (d * (d - 1) // 2) * 48 * d
+    return e_proj + quad + softmax + m_scatter + jacobi
+
+
+# Peak FLOP/s used as the MFU denominator. The fused EM kernel does
+# f32 arithmetic (precision=HIGHEST einsums); 4.6e13 is the f32 MXU
+# peak of a TPU v5e-class chip (bf16 peak 1.97e14). Override with
+# BENCH_PEAK_FLOPS when the chip is known.
+PEAK_FLOPS_F32 = 4.6e13
+
+
 def main():
+    import os
     import sys
 
     y = _make_data()
@@ -446,6 +475,18 @@ def main():
     # end-to-end style weighting: 20 EM iters + one GEV solve
     pipeline = EM_ITERS * em_jax + gev_jax
     pipeline_np = EM_ITERS * em_np + gev_np
+
+    flops = em_flops_per_iteration()
+    peak = float(os.environ.get('BENCH_PEAK_FLOPS', PEAK_FLOPS_F32))
+    achieved = flops / em_best
+    print(
+        f'# mfu: {flops / 1e6:.0f} MFLOP/iter (analytic, see '
+        f'docs/DESIGN.md), achieved {achieved / 1e12:.2f} TFLOP/s '
+        f'device-amortized, mfu_pct {100 * achieved / peak:.1f} '
+        f'(vs f32 peak {peak / 1e12:.0f} TFLOP/s; workload is '
+        f'small-matrix/elementwise-heavy, not matmul-bound)',
+        file=sys.stderr,
+    )
 
     print(json.dumps({
         'metric': 'cACGMM EM iters/sec (F=513, D=6, K=3, T=300, '

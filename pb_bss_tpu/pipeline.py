@@ -32,6 +32,7 @@ __all__ = ['separate', 'separate_batch']
     static_argnames=(
         'num_classes', 'iterations', 'stft_size', 'stft_shift',
         'beamformer', 'reference_channel', 'eigh_sweeps', 'model',
+        'mesh',
     ),
 )
 def separate(
@@ -46,6 +47,7 @@ def separate(
         key=None,
         eigh_sweeps=None,
         model='cacgmm',
+        mesh=None,
 ):
     """Blind source separation of a multichannel recording.
 
@@ -63,6 +65,11 @@ def separate(
             ``'cwmm'`` (complex Watson) or ``'cbmm'`` (complex
             Bingham) — the three spatial models of the reference's
             end-to-end tests (test_spatial_mm.py).
+        mesh: optional ``jax.sharding.Mesh`` with an ``'f'`` axis:
+            the STFT output is sharding-constrained so GSPMD
+            partitions the whole EM/PA/beamforming pipeline over
+            frequency bins (sequence parallelism; under
+            ``vmap(spmd_axis_name='b')`` the batch axis composes).
     Returns:
         (num_classes, num_samples) separated time signals (mask-based
         signals are aligned across frequency; global class order is
@@ -76,6 +83,13 @@ def separate(
 
     Observation = stft(observation, stft_size, stft_shift)  # (D, T, F)
     Y = jnp.einsum('dtf->ftd', Observation)
+    if mesh is not None and 'f' in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        # One constraint suffices: every downstream op (EM scan, PA
+        # score matmuls, PSD/GEV) broadcasts over the frequency axis,
+        # so GSPMD propagates the 'f' partitioning end to end.
+        Y = jax.lax.with_sharding_constraint(
+            Y, NamedSharding(mesh, P('f', None, None)))
 
     # one call: on the fused-kernel paths (auto on TPU) the
     # affiliations come from the kernel's final E-step for free
@@ -128,11 +142,15 @@ def separate(
     static_argnames=(
         'num_classes', 'iterations', 'stft_size', 'stft_shift',
         'beamformer', 'reference_channel', 'eigh_sweeps', 'model',
+        'mesh', 'spmd_axis_name',
     ),
 )
-def _separate_batch_jit(observations, keys, **kwargs):
+def _separate_batch_jit(observations, keys, *, mesh=None,
+                        spmd_axis_name=None, **kwargs):
     return jax.vmap(
-        lambda o, k: separate(o, key=k, **kwargs))(observations, keys)
+        lambda o, k: separate(o, key=k, mesh=mesh, **kwargs),
+        spmd_axis_name=spmd_axis_name,
+    )(observations, keys)
 
 
 def separate_batch(
@@ -156,7 +174,10 @@ def separate_batch(
     across the small per-utterance kernels; with ``mesh`` the batch is
     additionally sharded over the mesh's ``'b'`` axis (data parallel —
     utterances are independent, so GSPMD partitions the entire pipeline
-    with zero cross-device communication).
+    with zero cross-device communication). A mesh with an ``'f'`` axis
+    additionally shards the per-utterance pipeline over frequency bins
+    (``vmap(spmd_axis_name='b')`` composes the two): full 2D
+    ('b', 'f') partitioning of stft -> EM -> PA -> beamform -> istft.
 
     Args:
         observations: (B, D, num_samples) real multichannel signals.
@@ -171,14 +192,19 @@ def separate_batch(
     if key is None:
         key = jax.random.key(0)
     keys = jax.random.split(key, batch)
-    if mesh is not None:
+    spmd_axis_name = None
+    if mesh is not None and 'b' in mesh.axis_names:
         from jax.sharding import NamedSharding, PartitionSpec as P
         observations = jax.device_put(
             observations, NamedSharding(mesh, P('b', None, None)))
         keys = jax.device_put(keys, NamedSharding(mesh, P('b')))
+        spmd_axis_name = 'b'
     return _separate_batch_jit(
         observations, keys,
         num_classes=num_classes, iterations=iterations,
         stft_size=stft_size, stft_shift=stft_shift,
         beamformer=beamformer, reference_channel=reference_channel,
-        eigh_sweeps=eigh_sweeps, model=model)
+        eigh_sweeps=eigh_sweeps, model=model,
+        mesh=mesh if (mesh is not None
+                      and 'f' in mesh.axis_names) else None,
+        spmd_axis_name=spmd_axis_name)

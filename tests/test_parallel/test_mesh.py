@@ -199,3 +199,26 @@ def test_integration_model_fused_under_sharding():
         np.asarray(m_sharded.cacg.covariance_eigenvalues),
         np.asarray(m_local.cacg.covariance_eigenvalues),
         rtol=1e-3, atol=1e-4)
+
+
+@needs_8_devices
+def test_full_pipeline_2d_sharded_matches_replicated():
+    """The whole separate() pipeline (stft -> EM -> DHTV -> GEV+BAN ->
+    istft) under full 2D ('b', 'f') partitioning must produce the same
+    waveforms as the replicated run (VERDICT r1 item 6)."""
+    from pb_bss_tpu.pipeline import separate_batch
+
+    rng = np.random.default_rng(3)
+    B, D, N = 4, 4, 6000
+    obs = jnp.asarray(
+        rng.standard_normal((B, D, N)).astype(np.float32))
+
+    out_rep = np.asarray(separate_batch(
+        obs, num_classes=3, iterations=3, beamformer='gev+ban'))
+    mesh = make_mesh((2, 4), ('b', 'f'))
+    out_sh = np.asarray(separate_batch(
+        obs, num_classes=3, iterations=3, beamformer='gev+ban',
+        mesh=mesh))
+
+    assert out_sh.shape == (B, 3, N)
+    np.testing.assert_allclose(out_sh, out_rep, atol=1e-4)
