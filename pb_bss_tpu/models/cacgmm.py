@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .base import Model, modelclass
+from .base import Model, force_hermitian, modelclass
 from .complex_angular_central_gaussian import (
     ComplexAngularCentralGaussian,
     ComplexAngularCentralGaussianTrainer,
@@ -207,6 +207,149 @@ def _fit_fused(y, model, affiliation, quadratic_form, *, iterations,
     return fitted
 
 
+T_BLOCK_AUTO_THRESHOLD = 8192
+T_BLOCK_AUTO = 2048
+
+
+def _standard_knobs(saliency, source_activity_mask, aligner,
+                    weight_constant_axis, hermitize, covariance_norm):
+    return (
+        saliency is None
+        and source_activity_mask is None
+        and aligner is None
+        and weight_constant_axis in ((-1,), -1)
+        and hermitize
+        and covariance_norm == 'eigenvalue'
+    )
+
+
+def _t_blocks(x, t_block, pad_value=0.0):
+    """(..., C, T) -> (nb, ..., C, t_block) leading-block layout."""
+    *lead, c, t = x.shape
+    nb = -(-t // t_block)
+    x = jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(0, nb * t_block - t)],
+        constant_values=pad_value)
+    x = x.reshape(*lead, c, nb, t_block)
+    return jnp.moveaxis(x, -2, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('iterations', 'eigenvalue_floor',
+                     'affiliation_eps', 'first_e_step', 'eigh_sweeps',
+                     't_block'))
+def _fit_em_t_blocked(y, model, affiliation, quadratic_form, *,
+                      iterations, eigenvalue_floor, affiliation_eps,
+                      first_e_step, eigh_sweeps, t_block):
+    """EM with the time axis processed in blocks (SURVEY §5
+    long-context row; VERDICT r1 item 7).
+
+    The scan-path E-step materializes ``z = V^H y`` of shape
+    (..., K, D, T) — at T ~ 30k that is gigabytes. Here each EM
+    iteration is one ``lax.scan`` over T-blocks whose body computes
+    the block's posterior from the current parameters and immediately
+    folds it into the M-step accumulators (scatter (..., K, D, D) and
+    affiliation sums (..., K)); the (..., K, T) posterior and the
+    (..., K, D, T) projection never exist at full length, so the
+    working set is O(F K D^2 + F D t_block) regardless of T.
+    Trajectory-equivalent to the scan path (same M/E ordering and
+    guards; only the reduction order differs).
+
+    Standard knobs only (no saliency/mask/aligner,
+    ``weight_constant_axis=-1``, hermitize, eigenvalue norm) — the
+    caller gates on ``_standard_knobs``.
+    """
+    *independent, D, T = y.shape
+    rdtype = _real_dtype(y)
+
+    y_blocks = _t_blocks(y, t_block)  # (nb, ..., D, tb)
+    nb = y_blocks.shape[0]
+    valid = (jnp.arange(nb * t_block) < T).astype(rdtype)
+    valid_blocks = valid.reshape(nb, t_block)
+
+    def block_stats(aff, qf, y_block):
+        """M-step contribution of one block (cacg Trainer._fit
+        weighting: w = affiliation / quadratic_form)."""
+        w = aff / jnp.maximum(qf, 10 * _tiny(qf))
+        scatter = jnp.einsum(
+            '...kt,...dt,...et->...kde',
+            w.astype(y_block.dtype), y_block, y_block.conj(),
+            precision=jax.lax.Precision.HIGHEST)
+        return scatter, jnp.sum(aff, axis=-1)
+
+    def m_from_stats(scatter, aff_sum):
+        covariance = D * scatter / jnp.maximum(
+            aff_sum, _tiny(aff_sum))[..., None, None].astype(
+                scatter.dtype)
+        covariance = force_hermitian(covariance)
+        cacg = ComplexAngularCentralGaussian.from_covariance(
+            covariance,
+            eigenvalue_floor=eigenvalue_floor,
+            covariance_norm='eigenvalue',
+            eigh_sweeps=eigh_sweeps,
+        )
+        weight = (aff_sum / T)[..., None]
+        return CACGMM(weight=weight, cacg=cacg)
+
+    K = (affiliation.shape[-2] if affiliation is not None
+         else model.weight.shape[-2])
+    zeros = (
+        jnp.zeros((*independent, K, D, D), y.dtype),
+        jnp.zeros((*independent, K), rdtype),
+    )
+
+    def e_then_m(model):
+        def body(carry, inp):
+            y_block, v = inp
+            aff, qf, _ = model._predict(
+                y_block, affiliation_eps=affiliation_eps)
+            aff = aff * v  # zero the padded tail columns
+            s, n = block_stats(aff, qf, y_block)
+            return (carry[0] + s, carry[1] + n), None
+        (s, n), _ = lax.scan(body, zeros, (y_blocks, valid_blocks))
+        return m_from_stats(s, n)
+
+    if not first_e_step:
+        # First M-step from the provided initialization (padded
+        # affiliations are zero -> contribute nothing).
+        aff_blocks = _t_blocks(affiliation, t_block)
+        qf_blocks = _t_blocks(quadratic_form, t_block, pad_value=1.0)
+
+        def body0(carry, inp):
+            y_block, aff, qf = inp
+            s, n = block_stats(aff, qf, y_block)
+            return (carry[0] + s, carry[1] + n), None
+        (s, n), _ = lax.scan(
+            body0, zeros, (y_blocks, aff_blocks, qf_blocks))
+        model = m_from_stats(s, n)
+        n_steps = iterations - 1
+    else:
+        n_steps = iterations
+
+    if n_steps > 0:
+        model, _ = lax.scan(
+            lambda m, _: (e_then_m(m), None), model, None,
+            length=n_steps)
+    return model
+
+
+@functools.partial(jax.jit, static_argnames=('t_block',))
+def _predict_time_last_blocked(model, y, *, t_block):
+    """Blocked final E-step: the (..., K, D, T) projection only ever
+    exists per block; returns the full (..., K, T) affiliation."""
+    *independent, D, T = y.shape
+    y_blocks = _t_blocks(y, t_block)
+
+    def body(_, y_block):
+        aff, _, _ = model._predict(y_block)
+        return None, aff
+    _, aff = lax.scan(body, None, y_blocks)  # (nb, ..., K, tb)
+    aff = jnp.moveaxis(aff, 0, -2)  # (..., K, nb, tb)
+    aff = aff.reshape(*aff.shape[:-2], -1)
+    return aff[..., :T]
+
+
 def _m_step(y, quadratic_form, affiliation, saliency, *,
             hermitize, covariance_norm, eigenvalue_floor,
             weight_constant_axis, eigh_sweeps=None):
@@ -346,6 +489,7 @@ class CACGMMTrainer:
             use_pallas_em=False,
             use_fused_em='auto',
             eigh_sweeps=None,
+            t_block='auto',
             _return_affiliation=False,
     ) -> CACGMM:
         """Fit a cACGMM with EM.
@@ -382,6 +526,14 @@ class CACGMMTrainer:
                 ``eigh_sweeps=4`` (~1e-3 eigenvalue accuracy) is
                 ~1.3-1.4x faster per iteration on TPU at unchanged
                 separation quality.
+            t_block: time-blocked EM for long signals: each iteration
+                scans T-blocks and folds posteriors straight into the
+                M-step accumulators, bounding the working set at
+                O(F K D^2 + F D t_block) instead of O(F K D T).
+                ``'auto'`` (default) enables it with block 2048 for
+                T > 8192 when the fused kernel is not used and the
+                knobs are standard; an int forces that block length;
+                ``None`` disables.
         """
         assert xor(initialization is None, num_classes is None), (
             'Incompatible input combination. '
@@ -467,6 +619,35 @@ class CACGMMTrainer:
                 return_affiliation=_return_affiliation,
             )
 
+        standard = _standard_knobs(
+            saliency, source_activity_mask, inline_permutation_aligner,
+            weight_constant_axis, hermitize, covariance_norm)
+        if t_block == 'auto':
+            t_block = (
+                T_BLOCK_AUTO
+                if (standard and not use_pallas_em
+                    and num_observations > T_BLOCK_AUTO_THRESHOLD)
+                else None)
+        if t_block is not None:
+            assert standard, (
+                't_block requires standard knobs (no saliency/mask/'
+                'aligner, weight_constant_axis=-1, hermitize, '
+                'eigenvalue covariance norm)')
+            fitted = _fit_em_t_blocked(
+                y, model, affiliation, quadratic_form,
+                iterations=int(iterations),
+                eigenvalue_floor=float(eigenvalue_floor),
+                affiliation_eps=float(affiliation_eps),
+                first_e_step=model is not None,
+                eigh_sweeps=(
+                    None if eigh_sweeps is None else int(eigh_sweeps)),
+                t_block=int(t_block),
+            )
+            if _return_affiliation:
+                return fitted, _predict_time_last_blocked(
+                    fitted, y, t_block=int(t_block))
+            return fitted
+
         if use_pallas_em:
             assert y.ndim == 3, (
                 'use_pallas_em requires (F, N, D) observations',
@@ -519,6 +700,7 @@ class CACGMMTrainer:
             use_pallas_em=False,
             use_fused_em='auto',
             eigh_sweeps=None,
+            t_block='auto',
     ):
         """Fit, then return the posterior affiliations for ``y``.
 
@@ -547,6 +729,7 @@ class CACGMMTrainer:
             use_pallas_em=use_pallas_em,
             use_fused_em=use_fused_em,
             eigh_sweeps=eigh_sweeps,
+            t_block=t_block,
             _return_affiliation=True,
         )
         return affiliation
