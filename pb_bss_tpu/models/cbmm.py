@@ -58,6 +58,55 @@ class CBMM(Model):
         )
 
 
+def _fused_cbmm_eligible(y, saliency, aligner, weight_constant_axis,
+                         max_concentration, num_classes):
+    """Route the fit to the single-kernel Pallas CBMM EM loop
+    (ops/pallas_cbmm_loop.py)? Non-CPU backend, c64 (F, N, D)
+    observations, default knobs only."""
+    from ..ops.pallas_cbmm_loop import choose_tile_f_cbmm
+    return (
+        jax.default_backend() != 'cpu'
+        and y.ndim in (3, 4)
+        and y.dtype == jnp.dtype(jnp.complex64)
+        and 2 <= y.shape[-1] <= 8
+        and saliency is None
+        and aligner is None
+        and weight_constant_axis in ((-1,), -1)
+        and not np.isfinite(max_concentration)
+        and bool(choose_tile_f_cbmm(
+            y.shape[-1], num_classes, -(-y.shape[-2] // 8) * 8))
+    )
+
+
+def _fit_fused_cbmm(y, affiliation, *, iterations, affiliation_eps,
+                    spacing_eps, return_affiliation=False):
+    """Whole-fit fast path: ONE Pallas kernel launch runs every CBMM
+    EM iteration with the observation tile resident in VMEM (see
+    ops/pallas_cbmm_loop.py). The kernel's final unclipped E-step
+    equals ``model.predict(y)``, so ``fit_predict`` gets its
+    affiliations for free."""
+    from ..ops.pallas_cbmm_loop import cbmm_em_full
+
+    y_t = jnp.swapaxes(y, -2, -1)  # (..., D, T) planes
+    weight, eigenvalues, vectors, _, aff = cbmm_em_full(
+        y_t.real, y_t.imag, affiliation.astype(jnp.float32),
+        iterations=int(iterations),
+        spacing_eps=float(spacing_eps),
+        affiliation_eps=float(affiliation_eps),
+        interpret=jax.default_backend() == 'cpu',
+    )
+    fitted = CBMM(
+        weight=weight[..., None],
+        complex_bingham=ComplexBingham(
+            covariance_eigenvectors=vectors,
+            covariance_eigenvalues=eigenvalues,
+        ),
+    )
+    if return_affiliation:
+        return fitted, aff
+    return fitted
+
+
 class CBMMTrainer:
     def __init__(self, dimension=None, max_concentration=np.inf,
                  eigenvalue_eps=1e-8):
@@ -79,9 +128,18 @@ class CBMMTrainer:
             weight_constant_axis=(-1,),
             affiliation_eps=0,
             inline_permutation_aligner=None,
+            use_fused_em='auto',
+            _return_affiliation=False,
     ) -> CBMM:
         """EM for CBMMs with any number of independent dimensions
-        (reference cbmm.py:79-146)."""
+        (reference cbmm.py:79-146).
+
+        ``use_fused_em``: run the WHOLE EM loop as one Pallas kernel
+        (ops/pallas_cbmm_loop.py — in-kernel scatter/eigh/chord
+        moment inversion/log-norm/E-step). ``'auto'`` (default)
+        enables it on non-CPU backends for c64 (F, N, D) inputs with
+        default knobs; ``True`` forces it (interpret mode on CPU,
+        slow — for tests); ``False`` keeps the scan path."""
         assert xor(initialization is None, num_classes is None), (
             'Incompatible input combination. '
             'Exactly one of the two inputs has to be None: '
@@ -104,6 +162,7 @@ class CBMMTrainer:
                 '...kn->...n', initialization)[..., None, :]
         initialization = jnp.asarray(initialization)
 
+        user_saliency = saliency
         if saliency is None:
             saliency = jnp.ones_like(initialization[..., 0, :])
 
@@ -118,7 +177,27 @@ class CBMMTrainer:
         if isinstance(weight_constant_axis, list):
             weight_constant_axis = tuple(weight_constant_axis)
 
-        return _cbmm_fit_em(
+        if use_fused_em == 'auto':
+            use_fused_em = user_saliency is None and \
+                _fused_cbmm_eligible(
+                    y, None, inline_permutation_aligner,
+                    weight_constant_axis, self.max_concentration,
+                    initialization.shape[-2])
+        if use_fused_em:
+            assert inline_permutation_aligner is None
+            assert weight_constant_axis in ((-1,), -1), \
+                weight_constant_axis
+            return _fit_fused_cbmm(
+                y, initialization,
+                iterations=int(iterations),
+                affiliation_eps=float(affiliation_eps),
+                # the reference's 1e-8 spacing is sub-ulp at f32
+                # concentration scale; the kernel needs >= 1e-3
+                spacing_eps=max(float(self.eigenvalue_eps), 1e-3),
+                return_affiliation=_return_affiliation,
+            )
+
+        fitted = _cbmm_fit_em(
             y, initialization, saliency,
             iterations=int(iterations),
             weight_constant_axis=weight_constant_axis,
@@ -128,6 +207,10 @@ class CBMMTrainer:
             eigenvalue_eps=float(self.eigenvalue_eps),
             aligner=inline_permutation_aligner,
         )
+        if _return_affiliation:
+            return fitted, fitted._predict(
+                y, affiliation_eps=0.)
+        return fitted
 
     def fit_predict(
             self,
@@ -141,9 +224,12 @@ class CBMMTrainer:
             weight_constant_axis=(-1,),
             affiliation_eps=0,
             inline_permutation_aligner=None,
+            use_fused_em='auto',
     ):
-        """Fit a model, then return the posterior affiliations."""
-        model = self.fit(
+        """Fit a model, then return the posterior affiliations (on
+        the fused-kernel path these come from the kernel's final
+        unclipped E-step for free)."""
+        _, affiliation = self.fit(
             y=y,
             initialization=initialization,
             num_classes=num_classes,
@@ -153,8 +239,10 @@ class CBMMTrainer:
             weight_constant_axis=weight_constant_axis,
             affiliation_eps=affiliation_eps,
             inline_permutation_aligner=inline_permutation_aligner,
+            use_fused_em=use_fused_em,
+            _return_affiliation=True,
         )
-        return model.predict(y)
+        return affiliation
 
 
 @functools.partial(

@@ -65,9 +65,14 @@ _TINY = float(np.finfo(np.float32).tiny)
 _SQUARINGS = 15  # exact domain |lambda| <= 2**15 = 32768
 _TAYLOR_TERMS = 13
 
+# The cascade/chord helpers below are shape-generic: ``lam`` and every
+# scratch ref carry an arbitrary trailing batch shape (the standalone
+# solver uses (L,) lanes; the fused CBMM loop kernel
+# (ops/pallas_cbmm_loop.py) uses (K, F_tile) planes).
 
-def _onehot_row(i, d, l):
-    return (lax.broadcasted_iota(jnp.int32, (d, l), 0)
+
+def _onehot_row(i, shape):
+    return (lax.broadcasted_iota(jnp.int32, shape, 0)
             == i).astype(jnp.float32)
 
 
@@ -81,21 +86,22 @@ def _grad_cascade(lam, g_ref, t6, tx, e6, xm, e6b, xmb, *, d):
     """Writes ``grad log Z`` at nodes ``lam`` into ``g_ref`` and
     returns ``dd = exp[lambda_1..lambda_D]`` (L,).
 
-    ``lam``: (D, L) value, each column <= 0 with max pinned to 0
+    ``lam``: (D, *batch) value, each column <= 0 with max pinned to 0
     (node j in sublane j). Scratch refs t6/tx/e6/xm/e6b/xmb are
-    (D, D, L) row-major cascade state (contents clobbered).
+    (D, D, *batch) row-major cascade state (contents clobbered).
     """
-    l = lam.shape[-1]
+    row_shape = (d,) + tuple(lam.shape[1:])
     cs = 2.0 ** -_SQUARINGS
-    e1 = _onehot_row(0, d, l)
+    e1 = _onehot_row(0, row_shape)
     # Taylor init: term_1 = A_big; accumulators E = I + A, X = C part
     for i in range(d):
-        row = cs * (lam[i][None] * _onehot_row(i, d, l)
-                    + (_onehot_row(i + 1, d, l) if i + 1 < d else 0.0))
+        row = cs * (lam[i][None] * _onehot_row(i, row_shape)
+                    + (_onehot_row(i + 1, row_shape)
+                       if i + 1 < d else 0.0))
         t6[i] = row
-        e6[i] = _onehot_row(i, d, l) + row
+        e6[i] = _onehot_row(i, row_shape) + row
         txrow = (cs * e1 if i == d - 1
-                 else jnp.zeros((d, l), jnp.float32))
+                 else jnp.zeros(row_shape, jnp.float32))
         tx[i] = txrow
         xm[i] = txrow
     for k in range(2, _TAYLOR_TERMS + 1):
@@ -149,10 +155,13 @@ def _lam_of_u(u, d):
     return jnp.stack(rows, axis=0)
 
 
-def _bingham_kernel(s_ref, x0_ref, lam_ref, u_ref, j_ref, m_ref,
-                    g_ref, t6, tx, e6, xm, e6b, xmb,
-                    *, d, iterations, lower, upper, fd_step):
-    l = s_ref.shape[-1]
+def _chord_round(s, u_ref, j_ref, m_ref, g_ref, t6, tx, e6, xm, e6b,
+                 xmb, *, d, iterations, lower, upper, fd_step):
+    """One Jacobian refresh + ``iterations`` chord steps on ``u_ref``
+    (in place). ``s``: (D, *batch) target moments; scratch refs as in
+    :func:`_grad_cascade` plus ``u_ref`` (D-1, *batch), ``j_ref``
+    (D-1, D, *batch), ``m_ref`` (D-1, D-1, *batch)."""
+    batch = tuple(u_ref.shape[1:])
     d1 = d - 1
     casc = functools.partial(
         _grad_cascade, g_ref=g_ref, t6=t6, tx=tx, e6=e6, xm=xm,
@@ -161,13 +170,11 @@ def _bingham_kernel(s_ref, x0_ref, lam_ref, u_ref, j_ref, m_ref,
     def clip_u(u):
         return jnp.clip(u, lower, upper)
 
-    x0 = x0_ref[...]
-    u0 = clip_u(x0[:-1] - x0[1:])  # (D-1, L), all <= 0
-    u_ref[...] = u0
+    u0 = u_ref[...]
 
-    # ---- residual at u0 + FD Jacobian (5 shifted cascades) ---------
+    # ---- residual at u0 + FD Jacobian (D-1 shifted cascades) -------
     casc(_lam_of_u(u0, d))
-    g0 = g_ref[...]  # (D, L)
+    g0 = g_ref[...]  # (D, *batch)
 
     # relative FD step: in the saturated regime (|u| ~ 1e3+) the
     # gradient is exponentially flat and an absolute step sits below
@@ -176,7 +183,7 @@ def _bingham_kernel(s_ref, x0_ref, lam_ref, u_ref, j_ref, m_ref,
 
     def fd_body(i, carry):
         shift = fd_step * h_scale * (lax.broadcasted_iota(
-            jnp.int32, (d1, l), 0) == i).astype(jnp.float32)
+            jnp.int32, (d1,) + batch, 0) == i).astype(jnp.float32)
         u_s = clip_u(u0 + shift)
         h_i = jnp.sum(u_s - u0, axis=0)  # effective (clipping-safe)
         h_int = jnp.sum(shift, axis=0)  # intended
@@ -190,15 +197,15 @@ def _bingham_kernel(s_ref, x0_ref, lam_ref, u_ref, j_ref, m_ref,
                           1.0 / jnp.where(dead, 1.0, h_i))
         col = (g_ref[...] - g0) * inv_h[None]
         mask = (lax.broadcasted_iota(
-            jnp.int32, (d1, d, l), 0) == i).astype(jnp.float32)
+            jnp.int32, (d1, d) + batch, 0) == i).astype(jnp.float32)
         j_ref[...] = j_ref[...] + mask * col[None]
         return carry
 
-    j_ref[...] = jnp.zeros((d1, d, l), jnp.float32)
+    j_ref[...] = jnp.zeros((d1, d) + batch, jnp.float32)
     lax.fori_loop(0, d1, fd_body, 0)
 
     # ---- (J^T J + reg)^{-1} via unrolled Cholesky ------------------
-    jmat = j_ref[...]  # (D-1, D, L)
+    jmat = j_ref[...]  # (D-1, D, *batch)
     jtj = [[None] * d1 for _ in range(d1)]
     for a in range(d1):
         for b in range(a, d1):
@@ -246,17 +253,15 @@ def _bingham_kernel(s_ref, x0_ref, lam_ref, u_ref, j_ref, m_ref,
         [jnp.stack(minv[a], axis=0) for a in range(d1)], axis=0)
 
     # ---- chord steps: u <- clip(u - Minv J^T (g(u) - s)) -----------
-    s = s_ref[...]
-
     def chord_body(i, carry):
         u = u_ref[...]
         casc(_lam_of_u(u, d))
-        r = g_ref[...] - s  # (D, L)
+        r = g_ref[...] - s  # (D, *batch)
         jm = j_ref[...]
         b = None
         for dd_ in range(d):
             t = jm[:, dd_] * r[dd_][None]
-            b = t if b is None else b + t  # (D-1, L)
+            b = t if b is None else b + t  # (D-1, *batch)
         mm = m_ref[...]
         delta = None
         for k in range(d1):
@@ -268,6 +273,16 @@ def _bingham_kernel(s_ref, x0_ref, lam_ref, u_ref, j_ref, m_ref,
 
     lax.fori_loop(0, iterations, chord_body, 0)
 
+
+def _bingham_kernel(s_ref, x0_ref, lam_ref, u_ref, j_ref, m_ref,
+                    g_ref, t6, tx, e6, xm, e6b, xmb,
+                    *, d, iterations, lower, upper, fd_step):
+    x0 = x0_ref[...]
+    u_ref[...] = jnp.clip(x0[:-1] - x0[1:], lower, upper)
+    _chord_round(
+        s_ref[...], u_ref, j_ref, m_ref, g_ref, t6, tx, e6, xm, e6b,
+        xmb, d=d, iterations=iterations, lower=lower, upper=upper,
+        fd_step=fd_step)
     lam_ref[...] = _lam_of_u(u_ref[...], d)
 
 
