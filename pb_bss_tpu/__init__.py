@@ -34,6 +34,10 @@ from . import transform  # noqa: F401
 # name `pb_bss_tpu.distribution` as an alias module.
 from . import models  # noqa: F401
 _sys.modules[__name__ + '.distribution'] = models
+# ``from pb_bss_tpu.distribution.utils import ...`` needs the dotted
+# submodule path registered too (attribute aliasing alone does not
+# satisfy the import system's finder for `from x.y.z import n`).
+_sys.modules[__name__ + '.distribution.utils'] = models.base
 distribution = models
 
 __version__ = '0.1.0'

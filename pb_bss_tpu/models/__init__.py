@@ -75,3 +75,8 @@ from .mixture_model_utils import (  # noqa: F401
     estimate_mixture_weight,
     log_pdf_to_affiliation,
 )
+
+# Reference-compatible module name: ``pb_bss.distribution.utils`` holds
+# the model base / serialization helpers; here that is ``models.base``
+# (reference pb_bss/distribution/utils.py).
+from . import base as utils  # noqa: F401

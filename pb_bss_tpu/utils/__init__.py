@@ -19,6 +19,8 @@ __all__ = [
     'reshape',
     'get_pca',
     'to_numpy',
+    'DeprecatedWarning',
+    'deprecated',
 ]
 
 from ..ops.linalg import get_pca  # noqa: E402,F401  (reference: pb_bss/utils.py:111)
@@ -303,3 +305,33 @@ def reshape(array, operation):
             i += 1
         out_shape.append(size)
     return jnp.reshape(array, out_shape)
+
+
+class DeprecatedWarning(UserWarning):
+    """Category emitted by :func:`deprecated` (reference
+    pb_bss/utils.py:9-11)."""
+
+
+def deprecated(instructions):
+    """Decorator marking a callable as deprecated (reference
+    pb_bss/utils.py:13-45).
+
+    Emits a :class:`DeprecatedWarning` naming the callable and the
+    ``instructions`` for migrating away from it on every call.
+    """
+    import functools
+    import warnings
+
+    def decorator(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            warnings.warn(
+                f'{fn.__qualname__} is deprecated. {instructions}',
+                category=DeprecatedWarning,
+                stacklevel=2,
+            )
+            return fn(*args, **kwargs)
+
+        return wrapper
+
+    return decorator
