@@ -427,9 +427,14 @@ def bench_extras():
     print('# extras: ' + '; '.join(lines), file=sys.stderr)
 
 
-def em_flops_per_iteration(f=F, k=K, t=T, d=D, eigh_sweeps=15):
+def em_flops_per_iteration(f=F, k=K, t=T, d=D, eigh_sweeps=2.2):
     """Analytic FLOP count of one cACGMM EM iteration (real FLOPs;
     one complex multiply-add = 8).
+
+    ``eigh_sweeps`` is the PER-ITERATION average of the path actually
+    measured (the fused EM kernel, models/cacgmm.py:_fit_fused): the
+    first iteration runs 6 cold Jacobi sweeps, the remaining ones 2
+    warm-started sweeps — (6 + 19*2)/20 = 2.2 at EM_ITERS=20.
 
     Terms (see docs/DESIGN.md "FLOP model and MFU"):
       E-step projection  z = V^H y        : 8 f k d^2 t
@@ -445,7 +450,7 @@ def em_flops_per_iteration(f=F, k=K, t=T, d=D, eigh_sweeps=15):
     softmax = 12 * f * k * t
     m_scatter = 4 * f * k * d * (d + 1) * t
     jacobi = eigh_sweeps * f * k * (d * (d - 1) // 2) * 48 * d
-    return e_proj + quad + softmax + m_scatter + jacobi
+    return int(e_proj + quad + softmax + m_scatter + jacobi)
 
 
 # Peak FLOP/s used as the MFU denominator. The fused EM kernel does

@@ -155,12 +155,9 @@ def _fused_em_eligible(y, num_classes, saliency, source_activity_mask,
         and y.ndim in (3, 4)
         and y.dtype == jnp.dtype(jnp.complex64)
         and y.shape[-2] <= 16
-        and saliency is None
-        and source_activity_mask is None
-        and aligner is None
-        and weight_constant_axis in ((-1,), -1)
-        and hermitize
-        and covariance_norm == 'eigenvalue'
+        and _standard_knobs(
+            saliency, source_activity_mask, aligner,
+            weight_constant_axis, hermitize, covariance_norm)
         # the whole time axis must fit in VMEM alongside the tile
         and bool(choose_tile_f(
             y.shape[-2], num_classes, -(-y.shape[-1] // 8) * 8))

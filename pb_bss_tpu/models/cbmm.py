@@ -58,6 +58,19 @@ class CBMM(Model):
         )
 
 
+def _fused_cbmm_knobs_ok(saliency, aligner, weight_constant_axis,
+                         max_concentration):
+    """The knob settings the whole-fit kernel implements: no saliency
+    weighting, no inline PA, per-bin weights, unbounded concentration.
+    Shared by the 'auto' gate and the forced-``True`` asserts."""
+    return (
+        saliency is None
+        and aligner is None
+        and weight_constant_axis in ((-1,), -1)
+        and not np.isfinite(max_concentration)
+    )
+
+
 def _fused_cbmm_eligible(y, saliency, aligner, weight_constant_axis,
                          max_concentration, num_classes):
     """Route the fit to the single-kernel Pallas CBMM EM loop
@@ -69,10 +82,8 @@ def _fused_cbmm_eligible(y, saliency, aligner, weight_constant_axis,
         and y.ndim in (3, 4)
         and y.dtype == jnp.dtype(jnp.complex64)
         and 2 <= y.shape[-1] <= 8
-        and saliency is None
-        and aligner is None
-        and weight_constant_axis in ((-1,), -1)
-        and not np.isfinite(max_concentration)
+        and _fused_cbmm_knobs_ok(
+            saliency, aligner, weight_constant_axis, max_concentration)
         and bool(choose_tile_f_cbmm(
             y.shape[-1], num_classes, -(-y.shape[-2] // 8) * 8))
     )
@@ -139,7 +150,8 @@ class CBMMTrainer:
         moment inversion/log-norm/E-step). ``'auto'`` (default)
         enables it on non-CPU backends for c64 (F, N, D) inputs with
         default knobs; ``True`` forces it (interpret mode on CPU,
-        slow — for tests); ``False`` keeps the scan path."""
+        slow — for tests; the kernel computes in f32, so c128
+        observations are downcast); ``False`` keeps the scan path."""
         assert xor(initialization is None, num_classes is None), (
             'Incompatible input combination. '
             'Exactly one of the two inputs has to be None: '
@@ -178,15 +190,26 @@ class CBMMTrainer:
             weight_constant_axis = tuple(weight_constant_axis)
 
         if use_fused_em == 'auto':
-            use_fused_em = user_saliency is None and \
-                _fused_cbmm_eligible(
-                    y, None, inline_permutation_aligner,
-                    weight_constant_axis, self.max_concentration,
-                    initialization.shape[-2])
+            use_fused_em = _fused_cbmm_eligible(
+                y, user_saliency, inline_permutation_aligner,
+                weight_constant_axis, self.max_concentration,
+                initialization.shape[-2])
         if use_fused_em:
-            assert inline_permutation_aligner is None
-            assert weight_constant_axis in ((-1,), -1), \
-                weight_constant_axis
+            # The kernel implements only the default knobs — forcing
+            # it with unsupported ones would silently fit a different
+            # model (no saliency weighting, no concentration clip).
+            assert _fused_cbmm_knobs_ok(
+                user_saliency, inline_permutation_aligner,
+                weight_constant_axis, self.max_concentration), (
+                'use_fused_em=True requires saliency=None, '
+                'inline_permutation_aligner=None, '
+                'weight_constant_axis=(-1,) and '
+                'max_concentration=inf; got '
+                f'{user_saliency is not None=}, '
+                f'{inline_permutation_aligner=}, '
+                f'{weight_constant_axis=}, '
+                f'{self.max_concentration=}'
+            )
             return _fit_fused_cbmm(
                 y, initialization,
                 iterations=int(iterations),

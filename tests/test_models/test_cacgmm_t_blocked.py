@@ -96,6 +96,7 @@ def test_model_init_and_fit_predict():
         np.asarray(aff_blocked), np.asarray(aff_scan), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_long_signal_auto_blocks():
     """T=30k (beyond the fused kernel's VMEM ceiling and the scan
     path's comfortable z-projection size) fits via the auto-enabled

@@ -150,6 +150,7 @@ def _run_reference(trainer, pa_module, sc, iterations=80):
     return pa(np.einsum('fkt->kft', affiliation))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('reverberation', [False, True])
 def test_cacgmm_head_to_head(ref, reverberation):
     sc = _Scenario(reverberation)
@@ -163,6 +164,7 @@ def test_cacgmm_head_to_head(ref, reverberation):
         sc.delta_sdr(masks_ours), sc.delta_sdr(masks_ref))
 
 
+@pytest.mark.slow
 def test_cwmm_head_to_head(ref):
     sc = _Scenario(reverberation=False)
     masks_ours = _run_ours(CWMMTrainer, sc)

@@ -101,3 +101,19 @@ def test_auto_gate_off_on_cpu():
     assert_allclose(
         np.asarray(m_auto.complex_bingham.covariance_eigenvalues),
         np.asarray(m_scan.complex_bingham.covariance_eigenvalues))
+
+
+def test_forced_fused_rejects_unsupported_knobs():
+    """use_fused_em=True must not silently drop saliency weighting or
+    the concentration clip (the kernel implements neither)."""
+    import pytest
+
+    y, aff0, _ = _mixture(seed=6)
+    saliency = jnp.ones(aff0[:, 0, :].shape, jnp.float32)
+    with pytest.raises(AssertionError, match='use_fused_em'):
+        CBMMTrainer().fit(
+            y, initialization=aff0, iterations=2,
+            saliency=saliency, use_fused_em=True)
+    with pytest.raises(AssertionError, match='use_fused_em'):
+        CBMMTrainer(max_concentration=100.0).fit(
+            y, initialization=aff0, iterations=2, use_fused_em=True)
