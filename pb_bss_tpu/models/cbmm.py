@@ -160,6 +160,12 @@ class CBMMTrainer:
         y = jnp.asarray(y)
         assert jnp.iscomplexobj(y), y.dtype
         assert y.shape[-1] > 1
+        # Plausibility guard in the spirit of the reference's cACGMM
+        # (cacgmm.py:249-250): a (F, D, T) layout mistake puts T in
+        # the channel slot and the Bingham log-norm cascade is
+        # O(D^2) per bin — fail fast instead of compiling a
+        # hundreds-of-GB program.
+        assert y.shape[-1] < 35, f'Channels: {y.shape[-1]}, sure?'
         y = normalize_observation(y)
 
         if initialization is None and num_classes is not None:

@@ -110,6 +110,10 @@ class CWMMTrainer:
         y = jnp.asarray(y)
         assert jnp.iscomplexobj(y), y.dtype
         assert y.shape[-1] > 1
+        # Plausibility guard in the spirit of the reference's cACGMM
+        # (cacgmm.py:249-250): catches (F, D, T)-layout mistakes that
+        # would otherwise compile a huge per-bin program.
+        assert y.shape[-1] < 35, f'Channels: {y.shape[-1]}, sure?'
         y = normalize_observation(y)
 
         if initialization is None and num_classes is not None:

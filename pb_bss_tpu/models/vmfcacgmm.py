@@ -213,6 +213,10 @@ class VMFCACGMMTrainer:
         assert jnp.iscomplexobj(observation), observation.dtype
         assert not jnp.iscomplexobj(embedding), embedding.dtype
         assert observation.shape[-1] > 1
+        # Plausibility guard in the spirit of the reference's cACGMM
+        # (cacgmm.py:249-250): catches (F, D, T)-layout mistakes.
+        assert observation.shape[-1] < 35, (
+            f'Channels: {observation.shape[-1]}, sure?')
         observation = observation / jnp.maximum(
             jnp.linalg.norm(observation, axis=-1, keepdims=True),
             _tiny(observation),
