@@ -106,6 +106,16 @@ def get_bf_vector(
         noise_psd_matrix: (..., sensor, sensor).
         **bf_kwargs: forwarded to the core estimator; ATF options under
             the ``atf_kwargs`` key.
+
+    >>> import numpy as np
+    >>> from pb_bss_tpu.testing.random_utils import pos_def_hermitian
+    >>> rng = np.random.default_rng(0)
+    >>> target = pos_def_hermitian((6, 3, 3), rng=rng)
+    >>> noise = pos_def_hermitian((6, 3, 3), rng=rng)
+    >>> get_bf_vector('mvdr_souden', target, noise).shape
+    (6, 3)
+    >>> get_bf_vector('rank1_gev+mvdr_souden+ban', target, noise).shape
+    (6, 3)
     """
     assert 'lcmv' not in beamformer, (
         'Since the LCMV beamformer and its variants sufficiently differ '

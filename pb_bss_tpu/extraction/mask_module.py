@@ -85,6 +85,12 @@ def ideal_binary_mask(
 ):
     """Binary mask: 1 for the strongest source per T-F bin [Erdogan2015]
     (reference :90-136). Masks sum to one over sources.
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> signal = jnp.array([[3 + 0j, 1j], [1 + 0j, 2j]])  # (K=2, T=2)
+    >>> np.asarray(ideal_binary_mask(signal), np.float64)
+    array([[1., 0.],
+           [0., 1.]])
     """
     signal = jnp.asarray(signal)
     components = signal.shape[source_axis]
@@ -112,7 +118,14 @@ def wiener_like_mask(
         keepdims: bool = False,
 ):
     """Soft mask: source power / total power [Erdogan2015]
-    (reference :139-179)."""
+    (reference :139-179).
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> signal = jnp.array([[2 + 0j, 0j], [0j, 1 + 0j]])  # (K=2, T=2)
+    >>> np.asarray(wiener_like_mask(signal), np.float64).round(6)
+    array([[1., 0.],
+           [0., 1.]])
+    """
     signal = jnp.asarray(signal)
     mask = abs_square(signal)
     if sensor_axis is not None:
@@ -251,6 +264,14 @@ def quantile_mask(
 
     TPU realization: batched ``jnp.quantile`` (linear interpolation,
     matching ``np.percentile``) instead of the per-row loop (:481-487).
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> signal = jnp.arange(10.0) + 0j  # one row of magnitudes 0..9
+    >>> speech, noise = quantile_mask(signal[None, :], axis=-1)
+    >>> np.asarray(speech > 0.5, np.int64)  # loudest 10%
+    array([[0, 0, 0, 0, 0, 0, 0, 0, 0, 1]])
+    >>> np.asarray(noise > 0.5, np.int64)   # quietest 90%
+    array([[1, 1, 1, 1, 1, 1, 1, 1, 1, 0]])
     """
     signal = jnp.abs(jnp.asarray(signal))
     assert sensor_axis is None, _SENSOR_AXIS_MESSAGE

@@ -35,6 +35,18 @@ def uniform_normalized(Y, num_classes: int, permutation_free: bool = False,
             dims so every frequency starts with the same permutation.
     Returns:
         (..., K, N) affiliations.
+
+    >>> import numpy as np, jax, jax.numpy as jnp
+    >>> Y = jnp.zeros((5, 100, 3))  # (F, N, D): only the shape is used
+    >>> a = uniform_normalized(Y, 2, key=jax.random.key(0))
+    >>> a.shape
+    (5, 2, 100)
+    >>> bool(jnp.allclose(a.sum(-2), 1.0))  # normalized over classes
+    True
+    >>> pf = uniform_normalized(
+    ...     Y, 2, permutation_free=True, key=jax.random.key(0))
+    >>> bool((pf[0] == pf[4]).all())  # same draw in every frequency
+    True
     """
     Y = jnp.asarray(Y)
     independent = Y.shape[:-2]

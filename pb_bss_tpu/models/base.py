@@ -42,7 +42,30 @@ def _unit_norm(signal, *, axis=-1, eps=1e-4, eps_style='plus', ord=None):
 
 class Model:
     """Mixin giving dataclass models dict (de)serialization and pytree
-    behaviour. Use via the :func:`modelclass` decorator."""
+    behaviour. Use via the :func:`modelclass` decorator.
+
+    The dict schema matches the reference's ``_ProbabilisticModel``
+    (distribution/utils.py:118-190), so checkpoints interchange:
+
+    >>> import jax.numpy as jnp
+    >>> from pb_bss_tpu.models.gaussian import SphericalGaussian
+    >>> g = SphericalGaussian(mean=jnp.zeros(2), covariance=jnp.ones(()))
+    >>> sorted(g.to_dict().keys())
+    ['covariance', 'mean']
+    >>> g2 = SphericalGaussian.from_dict(g.to_dict())
+    >>> bool(jnp.allclose(g2.mean, g.mean))
+    True
+
+    Attribute typos get difflib suggestions instead of a bare
+    AttributeError (reference: distribution/utils.py:192-220):
+
+    >>> try:
+    ...     g.maen
+    ... except AttributeError as e:
+    ...     print(e)
+    'SphericalGaussian' object has no attribute 'maen'.
+    Close matches: ['mean']
+    """
 
     def to_dict(self):
         keys = self.__dataclass_fields__.keys()
@@ -149,7 +172,12 @@ def parameter_from_dict(parameter_class_or_str, d: dict):
 
 def get_trainer_class_from_model(parameter):
     """Name-convention lookup: ``Foo`` -> ``FooTrainer``
-    (reference: distribution/utils.py:6)."""
+    (reference: distribution/utils.py:6).
+
+    >>> from pb_bss_tpu.models import CACGMM
+    >>> get_trainer_class_from_model(CACGMM).__name__
+    'CACGMMTrainer'
+    """
     from pb_bss_tpu import models
     if not hasattr(parameter, '__name__'):
         parameter = parameter.__class__
@@ -160,7 +188,14 @@ def get_trainer_class_from_model(parameter):
 
 def stack_parameters(parameters: typing.List[Model]):
     """Stack a list of structurally identical models along a new leading
-    axis (reference: distribution/utils.py:259)."""
+    axis (reference: distribution/utils.py:259).
+
+    >>> import jax.numpy as jnp
+    >>> from pb_bss_tpu.models.gaussian import SphericalGaussian
+    >>> g = SphericalGaussian(mean=jnp.zeros(2), covariance=jnp.ones(()))
+    >>> stack_parameters([g, g, g]).mean.shape
+    (3, 2)
+    """
     types = {p.__class__ for p in parameters}
     assert len(types) == 1, types
     out_type = list(types)[0]

@@ -531,6 +531,23 @@ class CACGMMTrainer:
                 T > 8192 when the fused kernel is not used and the
                 knobs are standard; an int forces that block length;
                 ``None`` disables.
+
+        Minimal example (mirrors the reference doctest, cacgmm.py:100-107,
+        with an explicit jax key instead of a global seed):
+
+        >>> import jax, jax.numpy as jnp
+        >>> k1, k2 = jax.random.split(jax.random.key(0))
+        >>> y = (jax.random.normal(k1, (5, 100, 3))
+        ...      + 1j * jax.random.normal(k2, (5, 100, 3))
+        ...      ).astype(jnp.complex64)  # (F, T, D)
+        >>> mm = CACGMMTrainer().fit(y, num_classes=2, iterations=2)
+        >>> mm.weight.shape, mm.cacg.covariance_eigenvalues.shape
+        ((5, 2, 1), (5, 2, 3))
+        >>> mm.predict(y).shape  # affiliations (F, K, T)
+        (5, 2, 100)
+        >>> refit = CACGMMTrainer().fit(y, mm, iterations=1)  # resume
+        >>> type(refit).__name__
+        'CACGMM'
         """
         assert xor(initialization is None, num_classes is None), (
             'Incompatible input combination. '

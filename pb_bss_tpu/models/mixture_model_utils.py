@@ -131,6 +131,28 @@ def estimate_mixture_weight(
     ``dirichlet_prior_concentration`` > 1 applies the MAP plug-in rule
     of the reference's ``_estimate_mixture_weight_with_dirichlet_prior_
     concentration`` (mixture_model_utils.py:206-261).
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> affiliation = jnp.array(  # (F=2, K=2, T=2)
+    ...     [[[1., 1.], [0., 0.]],
+    ...      [[1., 0.], [0., 1.]]])
+    >>> np.asarray(  # per-bin weights: mean over T
+    ...     estimate_mixture_weight(affiliation), np.float64)
+    array([[[1. ],
+            [0. ]],
+    <BLANKLINE>
+           [[0.5],
+            [0.5]]])
+    >>> np.asarray(  # frequency-constant: mean over F and T
+    ...     estimate_mixture_weight(
+    ...         affiliation, weight_constant_axis=(-3, -1)), np.float64)
+    array([[[0.75],
+            [0.25]]])
+    >>> np.asarray(  # axis -2 -> fixed 1/K
+    ...     estimate_mixture_weight(
+    ...         affiliation, weight_constant_axis=-2), np.float64)
+    array([[0.5],
+           [0.5]])
     """
     affiliation = jnp.asarray(affiliation)
 

@@ -310,6 +310,20 @@ def stable_solve(a, b, *, hermitian=False):
         b: (..., D, N)
     Returns:
         x: (..., D, N) with ``a @ x ~= b``.
+
+    A regular system solves exactly; a singular one in the same batch
+    silently takes the pseudo-inverse route (the reference raises in
+    ``np.linalg.solve`` and retries per matrix — solve.py:95-114):
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> a = jnp.stack([jnp.eye(2) * 2.0, jnp.zeros((2, 2))])
+    >>> b = jnp.ones((2, 2, 1))
+    >>> x = stable_solve(a, b)
+    >>> np.asarray(x[0], np.float64)  # regular: exact solve
+    array([[0.5],
+           [0.5]])
+    >>> bool(jnp.isfinite(x[1]).all())  # singular: min-norm, finite
+    True
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)

@@ -142,6 +142,16 @@ def stft(
 
     Returns:
         (..., T, F) complex with F = size // 2 + 1.
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> x = jnp.asarray(np.random.default_rng(0).standard_normal(4000))
+    >>> Y = stft(x)
+    >>> Y.shape  # (frames, size // 2 + 1)
+    (35, 257)
+    >>> from pb_bss_tpu.transform import istft
+    >>> x_hat = istft(Y, num_samples=4000)
+    >>> bool(jnp.allclose(x_hat, x, atol=1e-5))  # perfect reconstruction
+    True
     """
     time_signal = jnp.asarray(time_signal)
     real_dtype = jnp.result_type(time_signal.dtype, jnp.float32)

@@ -1,30 +1,43 @@
-"""Doctest tier (SURVEY §4: doctests are first-class in the reference
-via --doctest-modules). Runs under the test conftest (CPU, x64) so
-exact-value doctests are meaningful.
+"""Doctest tier.
+
+The reference runs ``--doctest-modules`` as a first-class test tier
+(reference pytest.ini:1-6); here the doc-bearing modules are collected
+explicitly so doctests execute under the suite's controlled platform
+(CPU pin + x64, tests/conftest.py) instead of whatever backend module
+collection would initialize.
 """
 import doctest
+import importlib
 
+import numpy as np
 import pytest
 
-import pb_bss_tpu.evaluation.module_si_sdr
-import pb_bss_tpu.evaluation.sxr_module
-import pb_bss_tpu.ops.linalg
-import pb_bss_tpu.permutation_alignment
-import pb_bss_tpu.utils
-import pb_bss_tpu.utils.profiling
+DOCTESTED_MODULES = [
+    'pb_bss_tpu.utils',
+    'pb_bss_tpu.utils.profiling',
+    'pb_bss_tpu.ops.linalg',
+    'pb_bss_tpu.math.solve',
+    'pb_bss_tpu.models.base',
+    'pb_bss_tpu.models.cacgmm',
+    'pb_bss_tpu.models.mixture_model_utils',
+    'pb_bss_tpu.extraction.mask_module',
+    'pb_bss_tpu.extraction.beamformer_wrapper',
+    'pb_bss_tpu.transform.stft_module',
+    'pb_bss_tpu.initializer.iid',
+    'pb_bss_tpu.permutation_alignment',
+    'pb_bss_tpu.evaluation.module_si_sdr',
+    'pb_bss_tpu.evaluation.sxr_module',
+]
 
 
-@pytest.mark.parametrize('module', [
-    pb_bss_tpu.utils,
-    pb_bss_tpu.ops.linalg,
-    pb_bss_tpu.permutation_alignment,
-    pb_bss_tpu.evaluation.module_si_sdr,
-    pb_bss_tpu.evaluation.sxr_module,
-    pb_bss_tpu.utils.profiling,
-], ids=lambda m: m.__name__)
-def test_doctests(module):
-    results = doctest.testmod(
-        module, optionflags=doctest.NORMALIZE_WHITESPACE, verbose=False)
-    assert results.failed == 0, (module.__name__, results)
-    assert results.attempted > 0, (
-        module.__name__, 'expected at least one doctest')
+@pytest.mark.parametrize('module_name', DOCTESTED_MODULES)
+def test_module_doctests(module_name):
+    module = importlib.import_module(module_name)
+    # Doctest outputs are written against the default printoptions.
+    with np.printoptions(legacy=False):
+        result = doctest.testmod(
+            module, verbose=False, raise_on_error=False)
+    assert result.failed == 0, (module_name, result)
+    if module_name not in ('pb_bss_tpu.math.solve',):
+        assert result.attempted > 0, (
+            module_name, 'expected at least one doctest')
