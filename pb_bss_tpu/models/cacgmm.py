@@ -155,17 +155,19 @@ def _fused_em_eligible(y, num_classes, saliency, source_activity_mask,
         and y.ndim in (3, 4)
         and y.dtype == jnp.dtype(jnp.complex64)
         and y.shape[-2] <= 16
-        and _standard_knobs(
-            saliency, source_activity_mask, aligner,
-            weight_constant_axis, hermitize, covariance_norm)
+        and _fused_knobs(
+            aligner, weight_constant_axis, hermitize, covariance_norm)
         # the whole time axis must fit in VMEM alongside the tile
         and bool(choose_tile_f(
-            y.shape[-2], num_classes, -(-y.shape[-1] // 8) * 8))
+            y.shape[-2], num_classes, -(-y.shape[-1] // 8) * 8,
+            has_sal=saliency is not None,
+            has_mask=source_activity_mask is not None))
     )
 
 
 def _fit_fused(y, model, affiliation, quadratic_form, *, iterations,
                eigenvalue_floor, affiliation_eps, eigh_sweeps,
+               saliency=None, source_activity_mask=None,
                return_affiliation=False):
     """Whole-fit fast path: ONE Pallas kernel launch runs every EM
     iteration with the observation tile resident in VMEM (see
@@ -177,8 +179,17 @@ def _fit_fused(y, model, affiliation, quadratic_form, *, iterations,
 
     if model is not None:
         affiliation, quadratic_form, _ = model._predict(
-            y, affiliation_eps=affiliation_eps)
+            y, source_activity_mask=source_activity_mask,
+            affiliation_eps=affiliation_eps)
     D = y.shape[-2]
+    if saliency is not None:
+        saliency = jnp.broadcast_to(
+            jnp.asarray(saliency, _real_dtype(y)),
+            (*y.shape[:-2], y.shape[-1]))
+    if source_activity_mask is not None:
+        source_activity_mask = jnp.broadcast_to(
+            jnp.asarray(source_activity_mask, _real_dtype(y)),
+            affiliation.shape)
     sweeps = eigh_sweeps if eigh_sweeps is not None else (
         6 if D <= 8 else 8)
     weight, eigenvalues, eigenvectors, affiliation = cacgmm_em_full(
@@ -191,6 +202,8 @@ def _fit_fused(y, model, affiliation, quadratic_form, *, iterations,
         eigenvalue_floor=eigenvalue_floor,
         affiliation_eps=affiliation_eps,
         interpret=jax.default_backend() == 'cpu',
+        saliency=saliency,
+        source_activity_mask=source_activity_mask,
     )
     fitted = CACGMM(
         weight=weight[..., None],
@@ -208,15 +221,27 @@ T_BLOCK_AUTO_THRESHOLD = 8192
 T_BLOCK_AUTO = 2048
 
 
+def _fused_knobs(aligner, weight_constant_axis, hermitize,
+                 covariance_norm):
+    """Knobs the whole-fit kernel implements (it supports saliency and
+    source-activity masks natively; inline PA couples bins and a
+    non-per-bin weight axis needs a cross-tile reduction — both stay
+    on the scan path)."""
+    return (
+        aligner is None
+        and weight_constant_axis in ((-1,), -1)
+        and hermitize
+        and covariance_norm == 'eigenvalue'
+    )
+
+
 def _standard_knobs(saliency, source_activity_mask, aligner,
                     weight_constant_axis, hermitize, covariance_norm):
     return (
         saliency is None
         and source_activity_mask is None
-        and aligner is None
-        and weight_constant_axis in ((-1,), -1)
-        and hermitize
-        and covariance_norm == 'eigenvalue'
+        and _fused_knobs(
+            aligner, weight_constant_axis, hermitize, covariance_norm)
     )
 
 
@@ -514,9 +539,13 @@ class CACGMMTrainer:
             use_fused_em: run the WHOLE EM loop as one Pallas kernel
                 (ops/pallas_em_loop.py, ~3x over the scan path on
                 TPU). ``'auto'`` (default) enables it on non-CPU
-                backends for c64 (F, N, D) inputs with default knobs;
-                ``True`` forces it (interpreter mode on CPU, slow —
-                for tests); ``False`` keeps the scan path.
+                backends for c64 (F, N, D) inputs when the knobs are
+                supported — saliency and source_activity_mask are
+                handled natively; inline PA, non-per-bin
+                weight_constant_axis, hermitize=False or a
+                non-eigenvalue covariance norm fall back to the scan
+                path. ``True`` forces it (interpreter mode on CPU,
+                slow — for tests); ``False`` keeps the scan path.
             eigh_sweeps: Jacobi sweeps for the per-iteration batched
                 eigendecomposition (default: dtype-dependent machine
                 precision, 6 for f32). The EM is self-correcting;
@@ -618,11 +647,16 @@ class CACGMMTrainer:
             assert y.ndim in (3, 4), (
                 'use_fused_em requires (F, N, D) or (B, F, N, D) '
                 'observations', y.shape)
-            assert saliency is None and source_activity_mask is None
-            assert inline_permutation_aligner is None
-            assert weight_constant_axis in ((-1,), -1), \
-                weight_constant_axis
-            assert hermitize and covariance_norm == 'eigenvalue'
+            assert _fused_knobs(
+                inline_permutation_aligner, weight_constant_axis,
+                hermitize, covariance_norm), (
+                'use_fused_em=True requires '
+                'inline_permutation_aligner=None, '
+                'weight_constant_axis=(-1,), hermitize=True and '
+                "covariance_norm='eigenvalue'; got "
+                f'{inline_permutation_aligner=}, '
+                f'{weight_constant_axis=}, {hermitize=}, '
+                f'{covariance_norm=}')
             return _fit_fused(
                 y, model, affiliation, quadratic_form,
                 iterations=int(iterations),
@@ -630,6 +664,8 @@ class CACGMMTrainer:
                 affiliation_eps=float(affiliation_eps),
                 eigh_sweeps=(
                     None if eigh_sweeps is None else int(eigh_sweeps)),
+                saliency=saliency,
+                source_activity_mask=source_activity_mask,
                 return_affiliation=_return_affiliation,
             )
 

@@ -143,19 +143,29 @@ def _warm_rotate(ar, ai, vr, vi, br, bi, *, d):
                 ai[j, i_] = -b_im
 
 
-def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
-                    aff_ref, vre_ref, vim_ref, eig_ref, weight_ref,
-                    qf_ref, ar, ai, br, bi,
-                    *, d, k, iterations, sweeps, warm_sweeps, t_real,
-                    eigenvalue_floor, affiliation_eps, tiny):
+def _em_loop_kernel(*refs, d, k, iterations, sweeps, warm_sweeps,
+                    t_real, eigenvalue_floor, affiliation_eps, tiny,
+                    has_sal=False, has_mask=False):
     """One frequency tile: all EM iterations with y resident in VMEM.
 
     Blocks (lane dim = frequency tile F'):
-        y: (D, T, F') real/imag planes; aff0/qf0: (K, T, F').
+        y: (D, T, F') real/imag planes; aff0/qf0: (K, T, F');
+        optional saliency (T, F') and source-activity mask (K, T, F')
+        (0/1 floats) when ``has_sal`` / ``has_mask``.
     Outputs: aff (K, T, F'), V (D, D, K, F') planes (row, eigvec
     column, class), eig (D, K, F'), weight (K, F').
     Scratch: qf (K, T, F'), Jacobi working planes ar/ai (D, D, K, F').
     """
+    it = iter(refs)
+    y_re_ref, y_im_ref, aff0_ref, qf0_ref = (
+        next(it), next(it), next(it), next(it))
+    sal_ref = next(it) if has_sal else None
+    sam_ref = next(it) if has_mask else None
+    aff_ref, vre_ref, vim_ref, eig_ref, weight_ref = (
+        next(it), next(it), next(it), next(it), next(it))
+    qf_ref, ar, ai, br, bi = (
+        next(it), next(it), next(it), next(it), next(it))
+
     t_pad = y_re_ref.shape[1]
     # Valid-frame mask: padded time steps must not contribute to the
     # weight / scatter statistics.
@@ -170,22 +180,42 @@ def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
                     else aff0_ref[...] * mask[None])
     qf_ref[...] = qf0_ref[...]
 
+    sal = sal_ref[...] if has_sal else None  # (T, F')
+
     def body(i, carry, *, warm):
         # ---- M-step -----------------------------------------------
-        # weight = mean_t affiliation; scatter S_k = D/denom *
-        # sum_t (a_kt/q_kt) y_t y_t^H, built Hermitian from its upper
-        # triangle (exactly Hermitian, so force_hermitian is implicit).
-        # The pair product p_de = y_d conj(y_e) is computed once per
-        # (d, e) and reduced against every class's weights — K-fold
-        # less elementwise work than per-class whitening.
+        # weight = mean_t affiliation (with saliency: saliency-weighted
+        # sums, L1-normalized over classes — estimate_mixture_weight
+        # semantics, reference mixture_model_utils.py:133-203); scatter
+        # S_k = D/denom * sum_t (a_kt s_t/q_kt) y_t y_t^H, built
+        # Hermitian from its upper triangle (exactly Hermitian, so
+        # force_hermitian is implicit). The pair product
+        # p_de = y_d conj(y_e) is computed once per (d, e) and reduced
+        # against every class's weights — K-fold less elementwise work
+        # than per-class whitening.
         w = []
         scale = []
+        wsums = []
         for kk in range(k):
             a = aff_ref[kk]  # (T, F')
+            if has_sal:
+                a = a * sal
             wsum = jnp.sum(a, axis=0)  # (F',)
-            weight_ref[kk] = wsum / t_real
+            wsums.append(wsum)
             w.append(a / jnp.maximum(qf_ref[kk], 10 * tiny))
             scale.append(d / jnp.maximum(wsum, tiny))  # (F',)
+        if has_sal:
+            # L1-normalize over classes; 'where' eps style (zero
+            # vectors stay zero up to the 1e-10 divisor).
+            norm = wsums[0]
+            for kk in range(1, k):
+                norm = norm + wsums[kk]
+            norm = jnp.where(norm == 0, jnp.float32(1e-10), norm)
+            for kk in range(k):
+                weight_ref[kk] = wsums[kk] / norm
+        else:
+            for kk in range(k):
+                weight_ref[kk] = wsums[kk] / t_real
         for dd in range(d):
             y_rd = y_re_ref[dd]
             y_id = y_im_ref[dd]
@@ -289,6 +319,11 @@ def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
             max_k = jnp.maximum(max_k, log_pdf[kk])
         num = [jnp.exp(log_pdf[kk] - max_k) * weight_ref[kk]
                for kk in range(k)]
+        if has_mask:
+            # boolean source-activity gating in the linear domain
+            # (log_pdf_to_affiliation semantics, reference
+            # mixture_model_utils.py:7-55)
+            num = [num[kk] * sam_ref[kk] for kk in range(k)]
         den = num[0]
         for kk in range(1, k):
             den = den + num[kk]
@@ -318,7 +353,8 @@ def _em_loop_kernel(y_re_ref, y_im_ref, aff0_ref, qf0_ref,
                 1, iterations, lambda i, c: body(i, c, warm=True), 0)
 
 
-def choose_tile_f(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
+def choose_tile_f(d, k, t_pad, *, has_sal=False, has_mask=False,
+                  vmem_budget=14 * 2 ** 20):
     """Feasible frequency-tile widths (possibly empty for very long
     signals — then the caller must fall back to the scan path).
     Lane-dim padding dominates the wasted compute (the kernel is VPU
@@ -328,10 +364,13 @@ def choose_tile_f(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
     VMEM accounting: Pallas DOUBLE-BUFFERS input and output blocks
     across grid steps (measured: tile_f=256 at the benchmark shape
     wants 17.2 MB against the 16 MB scoped limit), so blocks count
-    twice; scratch counts once.
+    twice; scratch counts once. Optional saliency (T lanes) and
+    source-activity-mask (K*T lanes) inputs count as blocks.
     """
     per_lane = 4 * (
-        2 * (2 * d * t_pad + 2 * k * t_pad)        # in blocks, 2 bufs
+        2 * (2 * d * t_pad + 2 * k * t_pad        # in blocks, 2 bufs
+             + (t_pad if has_sal else 0)
+             + (k * t_pad if has_mask else 0))
         + 2 * (k * t_pad + 2 * d * d * k + d * k + k)  # out blocks
         + (k * t_pad + 4 * d * d * k)              # scratch
     )
@@ -347,7 +386,8 @@ def choose_tile_f(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
 def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
                    iterations, sweeps=6, warm_sweeps=None,
                    eigenvalue_floor=1e-10,
-                   affiliation_eps=1e-10, tile_f=None, interpret=False):
+                   affiliation_eps=1e-10, tile_f=None, interpret=False,
+                   saliency=None, source_activity_mask=None):
     """Run a full cACGMM EM fit as ONE Pallas kernel launch.
 
     Semantics: ``iterations`` M-steps starting from the given
@@ -366,6 +406,11 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
         affiliation: (F, K, T) initial posteriors.
         quadratic_form: (F, K, T) initial quadratic forms (ones for a
             fresh fit).
+        saliency: optional (F, T) per-frame importance weights —
+            weights the M-step statistics and L1-normalizes the
+            mixture weight over classes (scan-path semantics).
+        source_activity_mask: optional (F, K, T) 0/1 floats gating the
+            E-step posterior numerator per class and frame.
     Returns:
         (weight (F, K), eigenvalues (F, K, D), eigenvectors
         (F, K, D, D) complex64, affiliation (F, K, T));
@@ -382,7 +427,12 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
             warm_sweeps=warm_sweeps,
             eigenvalue_floor=eigenvalue_floor,
             affiliation_eps=affiliation_eps, tile_f=tile_f,
-            interpret=interpret)
+            interpret=interpret,
+            saliency=(None if saliency is None
+                      else saliency.reshape(B * F, T)),
+            source_activity_mask=(
+                None if source_activity_mask is None
+                else source_activity_mask.reshape(B * F, K, T)))
         return (weight.reshape(B, F, K),
                 eigenvalues.reshape(B, F, K, D),
                 vectors.reshape(B, F, K, D, D),
@@ -390,10 +440,13 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
 
     F, D, T = y_re.shape
     K = affiliation.shape[1]
+    has_sal = saliency is not None
+    has_mask = source_activity_mask is not None
 
     t_pad = -(-T // 8) * 8
     if tile_f is None:
-        candidates = choose_tile_f(D, K, t_pad)
+        candidates = choose_tile_f(
+            D, K, t_pad, has_sal=has_sal, has_mask=has_mask)
         if not candidates:
             raise ValueError(
                 f'signal too long for the fused EM kernel '
@@ -417,22 +470,37 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
         jnp.transpose(quadratic_form.astype(jnp.float32), (1, 2, 0)),
         ((0, 0), (0, t_pad - T), (0, f_pad - F)), constant_values=1.0)
 
+    operands = [y_re_s, y_im_s, aff_s, qf_s]
+    in_specs = [
+        pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
+        pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
+        pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
+        pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
+    ]
+    if has_sal:
+        sal_s = jnp.pad(
+            jnp.transpose(saliency.astype(jnp.float32), (1, 0)),
+            ((0, t_pad - T), (0, f_pad - F)))
+        operands.append(sal_s)
+        in_specs.append(
+            pl.BlockSpec((t_pad, tile_f), lambda i: (0, i)))
+    if has_mask:
+        operands.append(stage(source_activity_mask))
+        in_specs.append(
+            pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)))
+
     kernel = functools.partial(
         _em_loop_kernel, d=D, k=K, iterations=iterations,
         sweeps=sweeps, warm_sweeps=warm_sweeps, t_real=T,
         eigenvalue_floor=float(eigenvalue_floor),
-        affiliation_eps=float(affiliation_eps), tiny=_TINY)
+        affiliation_eps=float(affiliation_eps), tiny=_TINY,
+        has_sal=has_sal, has_mask=has_mask)
 
     grid = (f_pad // tile_f,)
     aff, v_re, v_im, eig, weight = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
-            pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
-            pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
-            pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
             pl.BlockSpec((D, D, K, tile_f), lambda i: (0, 0, 0, i)),
@@ -455,7 +523,7 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
             pltpu.VMEM((D, D, K, tile_f), jnp.float32),
         ],
         interpret=interpret,
-    )(y_re_s, y_im_s, aff_s, qf_s)
+    )(*operands)
 
     weight = jnp.transpose(weight)[:F]  # (F, K)
     eigenvalues = jnp.transpose(eig, (2, 1, 0))[:F]  # (F, K, D)
@@ -469,7 +537,8 @@ def cacgmm_em_full(y_re, y_im, affiliation, quadratic_form, *,
 def cacgmm_em_full_reference(y_re, y_im, affiliation, quadratic_form, *,
                              iterations, sweeps=6,
                              eigenvalue_floor=1e-10,
-                             affiliation_eps=1e-10):
+                             affiliation_eps=1e-10,
+                             saliency=None, source_activity_mask=None):
     """XLA reference of the same loop (parity tests): the scan-EM path
     restated with one trailing E-step, NumPy-convention sorting."""
     from ..models.cacgmm import CACGMM, _m_step
@@ -481,12 +550,13 @@ def cacgmm_em_full_reference(y_re, y_im, affiliation, quadratic_form, *,
     model = None
     for i in range(iterations):
         model = _m_step(
-            y, quadratic_form, affiliation, None,
+            y, quadratic_form, affiliation, saliency,
             hermitize=True, covariance_norm='eigenvalue',
             eigenvalue_floor=eigenvalue_floor,
             weight_constant_axis=(-1,), eigh_sweeps=sweeps)
         affiliation, quadratic_form, _ = model._predict(
-            y, affiliation_eps=(
+            y, source_activity_mask=source_activity_mask,
+            affiliation_eps=(
                 0. if i == iterations - 1 else affiliation_eps))
     return (model.weight[..., 0],
             model.cacg.covariance_eigenvalues,

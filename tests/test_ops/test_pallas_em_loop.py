@@ -53,6 +53,86 @@ def test_parity_with_scan_path(T):
     assert overlap.min() > 1 - 1e-4
 
 
+@pytest.mark.parametrize('T', [48, 37])
+def test_parity_with_scan_path_saliency(T):
+    """Saliency-weighted M-step statistics and the L1-normalized
+    mixture weight must match the scan path."""
+    args = _mixture(T=T)
+    rng = np.random.default_rng(11)
+    F = args[0].shape[0]
+    saliency = jnp.asarray(
+        rng.uniform(0.2, 1.0, size=(F, T)).astype(np.float32))
+    out_p = cacgmm_em_full(
+        *args, iterations=4, sweeps=6, interpret=True,
+        saliency=saliency)
+    out_r = cacgmm_em_full_reference(
+        *args, iterations=4, sweeps=6, saliency=saliency)
+    assert_allclose(
+        np.asarray(out_p[0], np.float64),
+        np.asarray(out_r[0], np.float64), atol=5e-5)  # weight
+    assert_allclose(
+        np.asarray(out_p[1], np.float64),
+        np.asarray(out_r[1], np.float64), atol=5e-5)  # eigenvalues
+    assert_allclose(
+        np.asarray(out_p[3], np.float64),
+        np.asarray(out_r[3], np.float64), atol=5e-3)  # affiliations
+
+
+def test_parity_with_scan_path_source_activity_mask():
+    """The E-step's boolean class gating must match the scan path,
+    including the gated classes' zero posteriors."""
+    args = _mixture(T=40)
+    rng = np.random.default_rng(12)
+    F, K, T = args[2].shape
+    sam_bool = rng.uniform(size=(F, K, T)) > 0.2
+    sam_bool[..., 0, :] |= ~sam_bool.any(-2)  # no all-off frames
+    sam = jnp.asarray(sam_bool.astype(np.float32))
+    out_p = cacgmm_em_full(
+        *args, iterations=4, sweeps=6, interpret=True,
+        source_activity_mask=sam)
+    out_r = cacgmm_em_full_reference(
+        *args, iterations=4, sweeps=6,
+        source_activity_mask=jnp.asarray(sam_bool))
+    assert_allclose(
+        np.asarray(out_p[0], np.float64),
+        np.asarray(out_r[0], np.float64), atol=5e-5)
+    assert_allclose(
+        np.asarray(out_p[1], np.float64),
+        np.asarray(out_r[1], np.float64), atol=5e-5)
+    aff_p = np.asarray(out_p[3], np.float64)
+    assert_allclose(aff_p, np.asarray(out_r[3], np.float64), atol=5e-3)
+    # gated (class, frame) slots must be exactly zero in the final
+    # (unclipped) E-step
+    assert np.all(aff_p[~sam_bool] == 0)
+
+
+def test_trainer_fused_saliency_and_mask_match_scan():
+    """The trainer's fused path with saliency + mask matches the scan
+    path end to end (same init, same knobs)."""
+    rng = np.random.default_rng(13)
+    F, T, D, K = 11, 36, 3, 2
+    y = (rng.standard_normal((F, T, D))
+         + 1j * rng.standard_normal((F, T, D))).astype(np.complex64)
+    saliency = jnp.asarray(
+        rng.uniform(0.5, 1.0, size=(F, T)).astype(np.float32))
+    sam = rng.uniform(size=(F, K, T)) > 0.1
+    sam[..., 0, :] |= ~sam.any(-2)
+    trainer = CACGMMTrainer()
+    kwargs = dict(
+        num_classes=K, iterations=3, saliency=saliency,
+        source_activity_mask=jnp.asarray(sam))
+    m_fused = trainer.fit(
+        jnp.asarray(y), use_fused_em=True, **kwargs)
+    m_scan = trainer.fit(
+        jnp.asarray(y), use_fused_em=False, **kwargs)
+    assert_allclose(
+        np.asarray(m_fused.weight), np.asarray(m_scan.weight),
+        atol=1e-4)
+    assert_allclose(
+        np.asarray(m_fused.cacg.covariance_eigenvalues),
+        np.asarray(m_scan.cacg.covariance_eigenvalues), atol=1e-4)
+
+
 def test_trainer_fused_matches_scan():
     rng = np.random.default_rng(1)
     F, T, D, K = 13, 40, 3, 2
