@@ -98,10 +98,11 @@ class CWMMTrainer:
 
         ``use_fused_em``: run the whole loop as one Pallas kernel
         (ops/pallas_cwmm_loop.py). ``'auto'`` enables it on non-CPU
-        backends for c64 (F, N, D) inputs with default knobs; the
-        concentration inverse then uses a uniform-grid linear table
-        (~1e-3 relative vs the scan path's log-spaced table —
-        quality-equivalent)."""
+        backends for c64 (F, N, D) inputs when the knobs are supported
+        (saliency is handled in-kernel; inline PA and non-per-bin
+        weight axes fall back to the scan path); the concentration
+        inverse then uses a uniform-grid linear table (~1e-3 relative
+        vs the scan path's log-spaced table — quality-equivalent)."""
         assert xor(initialization is None, num_classes is None), (
             'Incompatible input combination. '
             'Exactly one of the two inputs has to be None: '
@@ -147,11 +148,16 @@ class CWMMTrainer:
                 jnp.swapaxes(y, -2, -1), num_k, saliency, None, None,
                 weight_constant_axis, True, 'eigenvalue')
         if use_fused_em:
-            assert y.ndim in (3, 4) and saliency is None
+            assert y.ndim in (3, 4)
             assert inline_permutation_aligner is None
             assert weight_constant_axis in ((-1,), -1)
             from ..ops.pallas_cwmm_loop import cwmm_em_full
             y_dt = jnp.swapaxes(y, -2, -1)  # (F, D, T)
+            fused_saliency = saliency
+            if fused_saliency is not None:
+                fused_saliency = jnp.broadcast_to(
+                    jnp.asarray(fused_saliency, _real_dtype(y)),
+                    (*y.shape[:-2], y.shape[-2]))
             weight, mode, concentration, affiliation = cwmm_em_full(
                 y_dt.real, y_dt.imag,
                 jnp.asarray(initialization, jnp.float32),
@@ -161,6 +167,7 @@ class CWMMTrainer:
                 warm_sweeps=2,
                 max_concentration=float(self.max_concentration),
                 interpret=jax.default_backend() == 'cpu',
+                saliency=fused_saliency,
             )
             model = CWMM(
                 weight=weight[..., None],

@@ -102,17 +102,25 @@ def _log_norm(kappa, dimension, consts):
     return jnp.where(kappa < 1.0 / dimension, low, medium)
 
 
-def _cwmm_kernel(y_re_ref, y_im_ref, aff0_ref, table_ref,
-                 aff_ref, m_re_ref, m_im_ref, kappa_ref, weight_ref,
-                 ar, ai, vr, vi, br, bi,
-                 *, d, k, iterations, sweeps, warm_sweeps, t_real,
-                 r0, dr, table_size, dimension_consts, tiny):
+def _cwmm_kernel(*refs, d, k, iterations, sweeps, warm_sweeps, t_real,
+                 r0, dr, table_size, dimension_consts, tiny,
+                 has_sal=False):
     """One frequency tile: all CWMM EM iterations in VMEM.
 
     Blocks: y (D, T, F'); aff0 (K, T, F'); table (table_size, 1)
-    resident. Outputs: aff (K, T, F'), mode planes (D, K, F'),
+    resident; optional saliency (T, F') when ``has_sal``.
+    Outputs: aff (K, T, F'), mode planes (D, K, F'),
     kappa/weight (K, F'). Scratch: Jacobi planes (D, D, K, F') x4.
     """
+    it = iter(refs)
+    y_re_ref, y_im_ref, aff0_ref, table_ref = (
+        next(it), next(it), next(it), next(it))
+    sal_ref = next(it) if has_sal else None
+    aff_ref, m_re_ref, m_im_ref, kappa_ref, weight_ref = (
+        next(it), next(it), next(it), next(it), next(it))
+    ar, ai, vr, vi, br, bi = (
+        next(it), next(it), next(it), next(it), next(it), next(it))
+
     t_pad = y_re_ref.shape[1]
     if t_pad == t_real:
         mask = None
@@ -124,15 +132,36 @@ def _cwmm_kernel(y_re_ref, y_im_ref, aff0_ref, table_ref,
     aff_ref[...] = (aff0_ref[...] if mask is None
                     else aff0_ref[...] * mask[None])
 
+    sal = sal_ref[...] if has_sal else None  # (T, F')
+
     def body(i, carry, *, warm):
         # ---- M-step: weight + scatter + dominant eigenpair ---------
         # shared pair products p_de = y_d conj(y_e), reduced against
-        # every class's affiliations (see pallas_em_loop.py)
+        # every class's affiliations (see pallas_em_loop.py). With
+        # saliency the statistics weight by a*s and the mixture weight
+        # is L1-normalized over classes (estimate_mixture_weight
+        # semantics, reference mixture_model_utils.py:133-203).
         scale = []
+        a_eff = []
+        wsums = []
         for kk in range(k):
-            wsum = jnp.sum(aff_ref[kk], axis=0)
-            weight_ref[kk] = wsum / t_real
+            a = aff_ref[kk]
+            if has_sal:
+                a = a * sal
+            a_eff.append(a)
+            wsum = jnp.sum(a, axis=0)
+            wsums.append(wsum)
             scale.append(1.0 / jnp.maximum(wsum, tiny))
+        if has_sal:
+            norm = wsums[0]
+            for kk in range(1, k):
+                norm = norm + wsums[kk]
+            norm = jnp.where(norm == 0, jnp.float32(1e-10), norm)
+            for kk in range(k):
+                weight_ref[kk] = wsums[kk] / norm
+        else:
+            for kk in range(k):
+                weight_ref[kk] = wsums[kk] / t_real
         for dd in range(d):
             y_rd = y_re_ref[dd]
             y_id = y_im_ref[dd]
@@ -141,7 +170,7 @@ def _cwmm_kernel(y_re_ref, y_im_ref, aff0_ref, table_ref,
                 p_im = (None if ee == dd
                         else y_id * y_re_ref[ee] - y_rd * y_im_ref[ee])
                 for kk in range(k):
-                    a = aff_ref[kk]
+                    a = a_eff[kk]
                     s_re = jnp.sum(a * p_re, axis=0) * scale[kk]
                     ar[dd, ee, kk] = s_re
                     if ee == dd:
@@ -247,10 +276,12 @@ def _cwmm_kernel(y_re_ref, y_im_ref, aff0_ref, table_ref,
                 1, iterations, lambda i, c: body(i, c, warm=True), 0)
 
 
-def choose_tile_f_cwmm(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
+def choose_tile_f_cwmm(d, k, t_pad, *, has_sal=False,
+                       vmem_budget=14 * 2 ** 20):
     """Feasible tile widths (double-buffered blocks count twice)."""
     per_lane = 4 * (
-        2 * (2 * d * t_pad + k * t_pad)            # in blocks, 2 bufs
+        2 * (2 * d * t_pad + k * t_pad             # in blocks, 2 bufs
+             + (t_pad if has_sal else 0))
         + 2 * (k * t_pad + 2 * d * k + 2 * k)      # out blocks
         + 6 * d * d * k                            # Jacobi scratch
     )
@@ -264,7 +295,7 @@ def choose_tile_f_cwmm(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
                      'max_concentration', 'tile_f', 'interpret'))
 def cwmm_em_full(y_re, y_im, affiliation, *, iterations, sweeps=6,
                  warm_sweeps=None, max_concentration=500.0,
-                 tile_f=None, interpret=False):
+                 tile_f=None, interpret=False, saliency=None):
     """Run a full CWMM EM fit as ONE Pallas kernel launch.
 
     Semantics match the scan path (models/_em.py:run_em via
@@ -278,6 +309,9 @@ def cwmm_em_full(y_re, y_im, affiliation, *, iterations, sweeps=6,
             A leading batch axis (B, F, D, T) folds into the bin axis
             (bins independent; see pallas_em_loop.cacgmm_em_full).
         affiliation: (F, K, T) initial posteriors.
+        saliency: optional (F, T) per-frame importance weights
+            (scan-path semantics: weights the Watson statistics and
+            L1-normalizes the mixture weight over classes).
     Returns:
         (weight (F, K), mode (F, K, D) complex64,
         concentration (F, K), affiliation (F, K, T)).
@@ -291,19 +325,22 @@ def cwmm_em_full(y_re, y_im, affiliation, *, iterations, sweeps=6,
             iterations=iterations, sweeps=sweeps,
             warm_sweeps=warm_sweeps,
             max_concentration=max_concentration, tile_f=tile_f,
-            interpret=interpret)
+            interpret=interpret,
+            saliency=(None if saliency is None
+                      else saliency.reshape(B * F, T)))
         return (weight.reshape(B, F, K), mode.reshape(B, F, K, D),
                 kappa.reshape(B, F, K), aff.reshape(B, F, K, T))
 
     F, D, T = y_re.shape
     K = affiliation.shape[1]
+    has_sal = saliency is not None
 
     r0, dr, table = concentration_table(D, float(max_concentration))
     table_j = jnp.asarray(table)[:, None]  # (G, 1)
 
     t_pad = -(-T // 8) * 8
     if tile_f is None:
-        candidates = choose_tile_f_cwmm(D, K, t_pad)
+        candidates = choose_tile_f_cwmm(D, K, t_pad, has_sal=has_sal)
         if not candidates:
             raise ValueError(
                 f'signal too long for the fused CWMM kernel '
@@ -317,21 +354,31 @@ def cwmm_em_full(y_re, y_im, affiliation, *, iterations, sweeps=6,
         x = jnp.transpose(x.astype(jnp.float32), (1, 2, 0))
         return jnp.pad(x, ((0, 0), (0, t_pad - T), (0, f_pad - F)))
 
+    operands = [stage(y_re), stage(y_im), stage(affiliation), table_j]
+    in_specs = [
+        pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
+        pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
+        pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
+        pl.BlockSpec((table.shape[0], 1), lambda i: (0, 0)),
+    ]
+    if has_sal:
+        operands.append(jnp.pad(
+            jnp.transpose(saliency.astype(jnp.float32), (1, 0)),
+            ((0, t_pad - T), (0, f_pad - F))))
+        in_specs.append(
+            pl.BlockSpec((t_pad, tile_f), lambda i: (0, i)))
+
     kernel = functools.partial(
         _cwmm_kernel, d=D, k=K, iterations=iterations, sweeps=sweeps,
         warm_sweeps=warm_sweeps,
         t_real=T, r0=r0, dr=dr, table_size=table.shape[0],
-        dimension_consts=_log_norm_tran_vu_terms(D), tiny=_TINY)
+        dimension_consts=_log_norm_tran_vu_terms(D), tiny=_TINY,
+        has_sal=has_sal)
 
     aff, m_re, m_im, kappa, weight = pl.pallas_call(
         kernel,
         grid=(f_pad // tile_f,),
-        in_specs=[
-            pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
-            pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
-            pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
-            pl.BlockSpec((table.shape[0], 1), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
             pl.BlockSpec((D, K, tile_f), lambda i: (0, 0, i)),
@@ -355,7 +402,7 @@ def cwmm_em_full(y_re, y_im, affiliation, *, iterations, sweeps=6,
             pltpu.VMEM((D, D, K, tile_f), jnp.float32),
         ],
         interpret=interpret,
-    )(stage(y_re), stage(y_im), stage(affiliation), table_j)
+    )(*operands)
 
     weight = jnp.transpose(weight)[:F]  # (F, K)
     mode = (jnp.transpose(m_re, (2, 1, 0))

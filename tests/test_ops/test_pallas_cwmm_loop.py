@@ -74,6 +74,35 @@ def test_parity_with_scan_path():
     assert overlap.min() > 1 - 1e-3
 
 
+def test_trainer_fused_saliency_matches_scan():
+    """Saliency-weighted Watson statistics and the L1-normalized
+    mixture weight must match the scan path."""
+    y = _mixture(seed=6)
+    F, T, _ = y.shape
+    rng = np.random.default_rng(6)
+    saliency = jnp.asarray(
+        rng.uniform(0.3, 1.0, size=(F, T)))
+    trainer = CWMMTrainer()
+    m_fused = trainer.fit(
+        y, num_classes=2, iterations=3, saliency=saliency,
+        use_fused_em=True)
+    m_scan = trainer.fit(
+        y, num_classes=2, iterations=3, saliency=saliency,
+        use_fused_em=False)
+    assert_allclose(
+        np.asarray(m_fused.weight), np.asarray(m_scan.weight),
+        atol=5e-3)
+    assert_allclose(
+        np.asarray(m_fused.complex_watson.concentration),
+        np.asarray(m_scan.complex_watson.concentration),
+        rtol=2e-2, atol=0.3)
+    overlap = np.abs(np.einsum(
+        'fkd,fkd->fk',
+        np.asarray(m_fused.complex_watson.mode).conj(),
+        np.asarray(m_scan.complex_watson.mode)))
+    assert overlap.min() > 1 - 1e-3
+
+
 def test_trainer_fused_matches_scan_and_predict():
     y = _mixture(seed=3)
     trainer = CWMMTrainer()
