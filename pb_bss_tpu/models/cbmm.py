@@ -58,39 +58,39 @@ class CBMM(Model):
         )
 
 
-def _fused_cbmm_knobs_ok(saliency, aligner, weight_constant_axis,
-                         max_concentration):
-    """The knob settings the whole-fit kernel implements: no saliency
-    weighting, no inline PA, per-bin weights, unbounded concentration.
-    Shared by the 'auto' gate and the forced-``True`` asserts."""
+def _fused_cbmm_knobs_ok(aligner, weight_constant_axis):
+    """The knob settings the whole-fit kernel implements: no inline
+    PA, per-bin weights (saliency and a finite ``max_concentration``
+    are handled in-kernel). Shared by the 'auto' gate and the
+    forced-``True`` asserts."""
     return (
-        saliency is None
-        and aligner is None
+        aligner is None
         and weight_constant_axis in ((-1,), -1)
-        and not np.isfinite(max_concentration)
     )
 
 
 def _fused_cbmm_eligible(y, saliency, aligner, weight_constant_axis,
-                         max_concentration, num_classes):
+                         num_classes):
     """Route the fit to the single-kernel Pallas CBMM EM loop
     (ops/pallas_cbmm_loop.py)? Non-CPU backend, c64 (F, N, D)
-    observations, default knobs only."""
+    observations, supported knobs only."""
     from ..ops.pallas_cbmm_loop import choose_tile_f_cbmm
     return (
         jax.default_backend() != 'cpu'
         and y.ndim in (3, 4)
         and y.dtype == jnp.dtype(jnp.complex64)
         and 2 <= y.shape[-1] <= 8
-        and _fused_cbmm_knobs_ok(
-            saliency, aligner, weight_constant_axis, max_concentration)
+        and _fused_cbmm_knobs_ok(aligner, weight_constant_axis)
         and bool(choose_tile_f_cbmm(
-            y.shape[-1], num_classes, -(-y.shape[-2] // 8) * 8))
+            y.shape[-1], num_classes, -(-y.shape[-2] // 8) * 8,
+            has_sal=saliency is not None))
     )
 
 
 def _fit_fused_cbmm(y, affiliation, *, iterations, affiliation_eps,
-                    spacing_eps, return_affiliation=False):
+                    spacing_eps, saliency=None,
+                    max_concentration=np.inf,
+                    return_affiliation=False):
     """Whole-fit fast path: ONE Pallas kernel launch runs every CBMM
     EM iteration with the observation tile resident in VMEM (see
     ops/pallas_cbmm_loop.py). The kernel's final unclipped E-step
@@ -99,12 +99,20 @@ def _fit_fused_cbmm(y, affiliation, *, iterations, affiliation_eps,
     from ..ops.pallas_cbmm_loop import cbmm_em_full
 
     y_t = jnp.swapaxes(y, -2, -1)  # (..., D, T) planes
+    if saliency is not None:
+        saliency = jnp.broadcast_to(
+            jnp.asarray(saliency, jnp.float32),
+            (*y.shape[:-2], y.shape[-2]))
     weight, eigenvalues, vectors, _, aff = cbmm_em_full(
         y_t.real, y_t.imag, affiliation.astype(jnp.float32),
         iterations=int(iterations),
         spacing_eps=float(spacing_eps),
         affiliation_eps=float(affiliation_eps),
         interpret=jax.default_backend() == 'cpu',
+        saliency=saliency,
+        max_concentration=(float(max_concentration)
+                           if np.isfinite(max_concentration)
+                           else np.inf),
     )
     fitted = CBMM(
         weight=weight[..., None],
@@ -148,10 +156,13 @@ class CBMMTrainer:
         ``use_fused_em``: run the WHOLE EM loop as one Pallas kernel
         (ops/pallas_cbmm_loop.py — in-kernel scatter/eigh/chord
         moment inversion/log-norm/E-step). ``'auto'`` (default)
-        enables it on non-CPU backends for c64 (F, N, D) inputs with
-        default knobs; ``True`` forces it (interpret mode on CPU,
-        slow — for tests; the kernel computes in f32, so c128
-        observations are downcast); ``False`` keeps the scan path."""
+        enables it on non-CPU backends for c64 (F, N, D) inputs when
+        the knobs are supported (saliency and a finite
+        ``max_concentration`` are handled in-kernel; inline PA and
+        non-per-bin weight axes fall back to the scan path); ``True``
+        forces it (interpret mode on CPU, slow — for tests; the
+        kernel computes in f32, so c128 observations are downcast);
+        ``False`` keeps the scan path."""
         assert xor(initialization is None, num_classes is None), (
             'Incompatible input combination. '
             'Exactly one of the two inputs has to be None: '
@@ -198,23 +209,18 @@ class CBMMTrainer:
         if use_fused_em == 'auto':
             use_fused_em = _fused_cbmm_eligible(
                 y, user_saliency, inline_permutation_aligner,
-                weight_constant_axis, self.max_concentration,
-                initialization.shape[-2])
+                weight_constant_axis, initialization.shape[-2])
         if use_fused_em:
-            # The kernel implements only the default knobs — forcing
+            # The kernel implements only the supported knobs — forcing
             # it with unsupported ones would silently fit a different
-            # model (no saliency weighting, no concentration clip).
+            # model (no inline PA, no shared weight axes).
             assert _fused_cbmm_knobs_ok(
-                user_saliency, inline_permutation_aligner,
-                weight_constant_axis, self.max_concentration), (
-                'use_fused_em=True requires saliency=None, '
-                'inline_permutation_aligner=None, '
-                'weight_constant_axis=(-1,) and '
-                'max_concentration=inf; got '
-                f'{user_saliency is not None=}, '
+                inline_permutation_aligner, weight_constant_axis), (
+                'use_fused_em=True requires '
+                'inline_permutation_aligner=None and '
+                'weight_constant_axis=(-1,); got '
                 f'{inline_permutation_aligner=}, '
-                f'{weight_constant_axis=}, '
-                f'{self.max_concentration=}'
+                f'{weight_constant_axis=}'
             )
             return _fit_fused_cbmm(
                 y, initialization,
@@ -223,6 +229,8 @@ class CBMMTrainer:
                 # the reference's 1e-8 spacing is sub-ulp at f32
                 # concentration scale; the kernel needs >= 1e-3
                 spacing_eps=max(float(self.eigenvalue_eps), 1e-3),
+                saliency=user_saliency,
+                max_concentration=self.max_concentration,
                 return_affiliation=_return_affiliation,
             )
 

@@ -246,6 +246,7 @@ class GCACGMMTrainer:
             inline_permutation_alignment=bool(
                 inline_permutation_alignment),
             use_fused_em=use_fused_em,
+            has_saliency=saliency_arg is not None,
         )
 
     def fit_predict(self, observation, embedding, initialization=None,
@@ -300,14 +301,15 @@ def _integration_weight(masked_affiliation, weight_constant_axis):
         'iterations', 'hermitize', 'covariance_norm', 'eigenvalue_floor',
         'covariance_type', 'affiliation_eps', 'weight_constant_axis',
         'spatial_weight', 'spectral_weight',
-        'inline_permutation_alignment', 'use_fused_em'),
+        'inline_permutation_alignment', 'use_fused_em',
+        'has_saliency'),
 )
 def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
                     fixed_covariance, *, iterations, hermitize,
                     covariance_norm, eigenvalue_floor, covariance_type,
                     affiliation_eps, weight_constant_axis, spatial_weight,
                     spectral_weight, inline_permutation_alignment,
-                    use_fused_em='off'):
+                    use_fused_em='off', has_saliency=False):
     *batch, F, T, D = observation.shape
     E = embedding.shape[-1]
     K = affiliation.shape[-2]
@@ -352,6 +354,12 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
 
     quadratic_form = jnp.ones_like(affiliation)
     model = m_step(affiliation, quadratic_form)
+    if use_fused_em == 'loop':
+        # the whole-fit kernel has no saliency path — running it
+        # would silently drop the weighting
+        assert not has_saliency, (
+            "use_fused_em='loop' does not support saliency; use "
+            "'step' or the scan path")
     if iterations > 1 and use_fused_em == 'loop':
         # WHOLE-FIT single-launch kernel (see models/vmfcacgmm.py for
         # the vMF twin): only the initial M-step and the final
@@ -449,8 +457,10 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
         )
     if iterations > 1 and use_fused_em == 'step':
         from ..ops.pallas_integration_em import (
-            choose_tile_f, e_stats_staged, stage_observation)
-        tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8)
+            choose_tile_f, e_stats_staged, stage_observation,
+            stage_saliency)
+        tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8,
+                               has_sal=has_saliency)
         # leading batch axes fold into the (independent) bin axis
         # (see models/vmfcacgmm.py)
         fold = 1
@@ -462,6 +472,9 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
             jnp.swapaxes(embedding, -1, -2), (fold * F, E, T))
         staged = stage_observation(
             y_tl.real, y_tl.imag, emb_tl, tile_f=tile_f)
+        sal_s = (stage_saliency(
+            jnp.reshape(saliency, (fold * F, T)), tile_f=tile_f)
+            if has_saliency else None)
         interpret = jax.default_backend() == 'cpu'
         f32 = jnp.float32
         # the kernel computes in f32; pin the scan carry's dtypes so
@@ -510,6 +523,7 @@ def _gcacgmm_fit_em(observation, embedding, affiliation, saliency,
                 spectral_to_bins(prec * g.mean),
                 spectral_to_bins(prec),
                 spectral_to_bins(const),
+                sal_s,
                 f_real=fold * F, t_real=T,
                 spatial_weight=spatial_weight,
                 spectral_weight=spectral_weight,

@@ -102,7 +102,8 @@ def _fused_integration_eligible(
     """Route the EM to the fused per-iteration Pallas E+stats kernel
     (ops/pallas_integration_em.py)? Non-CPU backend, c64 (F, T, D)
     observations (a leading batch axis folds into the bin axis),
-    default knobs the kernel implements exactly."""
+    knobs the kernel implements exactly (saliency is handled
+    in-kernel)."""
     from ..ops.pallas_integration_em import choose_tile_f
     F, T, D = observation.shape[-3:]
     E = embedding.shape[-1]
@@ -111,10 +112,10 @@ def _fused_integration_eligible(
         and observation.ndim in (3, 4)
         and observation.dtype == jnp.dtype(jnp.complex64)
         and D <= 16
-        and saliency is None
         and not inline_permutation_alignment
         and weight_constant_axis in ((-1,), -1)
-        and bool(choose_tile_f(D, E, num_classes, -(-T // 8) * 8))
+        and bool(choose_tile_f(D, E, num_classes, -(-T // 8) * 8,
+                               has_sal=saliency is not None))
     )
 
 
@@ -131,6 +132,10 @@ def _whole_fit_integration_eligible(
     if not _fused_integration_eligible(
             observation, embedding, num_classes, saliency,
             weight_constant_axis, inline_permutation_alignment):
+        return False
+    # the whole-fit loop kernel (unlike the per-iteration kernel)
+    # does not implement saliency weighting
+    if saliency is not None:
         return False
     if iterations < 2 or covariance_norm != 'eigenvalue' \
             or not hermitize:
@@ -272,6 +277,7 @@ class VMFCACGMMTrainer:
             inline_permutation_alignment=bool(
                 inline_permutation_alignment),
             use_fused_em=use_fused_em,
+            has_saliency=saliency_arg is not None,
         )
 
     def fit_predict(self, observation, embedding, initialization=None,
@@ -314,7 +320,7 @@ class VMFCACGMMTrainer:
         'hermitize', 'covariance_norm', 'eigenvalue_floor',
         'affiliation_eps', 'weight_constant_axis', 'spatial_weight',
         'spectral_weight', 'inline_permutation_alignment',
-        'use_fused_em'),
+        'use_fused_em', 'has_saliency'),
 )
 def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
                       iterations, min_concentration, max_concentration,
@@ -322,7 +328,7 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
                       affiliation_eps, weight_constant_axis,
                       spatial_weight, spectral_weight,
                       inline_permutation_alignment,
-                      use_fused_em='off'):
+                      use_fused_em='off', has_saliency=False):
     *batch, F, T, D = observation.shape
     E = embedding.shape[-1]
     K = affiliation.shape[-2]
@@ -365,6 +371,12 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
 
     quadratic_form = jnp.ones_like(affiliation)
     model = m_step(affiliation, quadratic_form)
+    if use_fused_em == 'loop':
+        # the whole-fit kernel has no saliency path — running it
+        # would silently drop the weighting
+        assert not has_saliency, (
+            "use_fused_em='loop' does not support saliency; use "
+            "'step' or the scan path")
     if iterations > 1 and use_fused_em == 'loop':
         # WHOLE-FIT single-launch kernel: every E-step, cACG M-step
         # (warm Jacobi) and spectral M-step ([Banerjee2005] + logC
@@ -451,8 +463,10 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
         )
     if iterations > 1 and use_fused_em == 'step':
         from ..ops.pallas_integration_em import (
-            choose_tile_f, e_stats_staged, stage_observation)
-        tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8)
+            choose_tile_f, e_stats_staged, stage_observation,
+            stage_saliency)
+        tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8,
+                               has_sal=has_saliency)
         # leading batch axes fold into the (independent) bin axis;
         # each utterance's global spectral state rides along as
         # per-lane columns and the resultants un-fold per utterance
@@ -465,6 +479,9 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
             jnp.swapaxes(embedding, -1, -2), (fold * F, E, T))
         staged = stage_observation(
             y_tl.real, y_tl.imag, emb_tl, tile_f=tile_f)
+        sal_s = (stage_saliency(
+            jnp.reshape(saliency, (fold * F, T)), tile_f=tile_f)
+            if has_saliency else None)
         interpret = jax.default_backend() == 'cpu'
         f32 = jnp.float32
         # the kernel computes in f32; pin the scan carry's dtypes so
@@ -503,6 +520,7 @@ def _vmfcacgmm_fit_em(observation, embedding, affiliation, saliency, *,
                 spectral_to_bins(model.vmf.mean),
                 spectral_to_bins(model.vmf.concentration),
                 spectral_to_bins(model.vmf.log_norm()),
+                sal_s,
                 f_real=fold * F, t_real=T,
                 spatial_weight=spatial_weight,
                 spectral_weight=spectral_weight,

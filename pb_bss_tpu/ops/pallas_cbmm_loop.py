@@ -69,23 +69,30 @@ _TINY = float(np.finfo(np.float32).tiny)
 _LOG_2PI_D = lambda d: float(np.log(2.0) + d * np.log(np.pi))
 
 
-def _cbmm_loop_kernel(y_re_ref, y_im_ref, aff0_ref,
-                      aff_ref, vre_ref, vim_ref, lamb_out_ref,
-                      weight_ref, logz_ref,
-                      ar, ai, br, bi,
-                      u_ref, j_ref, m_ref, g_ref,
-                      t6, tx, e6, xm, e6b, xmb, lamb_ref,
-                      *, d, k, iterations, sweeps, warm_sweeps, t_real,
-                      spacing_eps, lower, upper, fd_step,
+def _cbmm_loop_kernel(*refs, d, k, iterations, sweeps, warm_sweeps,
+                      t_real, spacing_eps, lower, upper, fd_step,
                       cold_rounds, cold_steps, warm_steps,
-                      affiliation_eps, tiny):
+                      affiliation_eps, tiny, has_sal=False,
+                      cap_init=32768.0, max_concentration=None):
     """One frequency tile: all CBMM EM iterations, y resident in VMEM.
 
     Blocks (lane dim = frequency tile F'): y (D, T, F') planes,
-    aff0 (K, T, F'). Outputs: aff (K, T, F'), V (D, D, K, F') planes,
+    aff0 (K, T, F'); optional saliency (T, F') when ``has_sal``.
+    Outputs: aff (K, T, F'), V (D, D, K, F') planes,
     Bingham eigenvalues (D, K, F') ascending (max pinned to 0),
     weight (K, F'), log normalizer (K, F').
     """
+    it = iter(refs)
+    y_re_ref, y_im_ref, aff0_ref = next(it), next(it), next(it)
+    sal_ref = next(it) if has_sal else None
+    (aff_ref, vre_ref, vim_ref, lamb_out_ref, weight_ref,
+     logz_ref) = (next(it), next(it), next(it), next(it), next(it),
+                  next(it))
+    (ar, ai, br, bi, u_ref, j_ref, m_ref, g_ref,
+     t6, tx, e6, xm, e6b, xmb, lamb_ref) = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+        next(it), next(it), next(it), next(it), next(it), next(it),
+        next(it), next(it), next(it))
     t_pad = y_re_ref.shape[1]
     if t_pad == t_real:
         mask = None
@@ -97,16 +104,37 @@ def _cbmm_loop_kernel(y_re_ref, y_im_ref, aff0_ref,
     aff_ref[...] = (aff0_ref[...] if mask is None
                     else aff0_ref[...] * mask[None])
 
+    sal = sal_ref[...] if has_sal else None  # (T, F')
+
     plane = (k,) + tuple(y_re_ref.shape[2:])  # (K, F')
 
     def body(i, carry, *, warm):
         # ---- M-step scatter + weight -------------------------------
+        # With saliency the scatter statistics weight by a*s and the
+        # mixture weight is L1-normalized over classes
+        # (estimate_mixture_weight semantics, reference
+        # mixture_model_utils.py:133-203).
+        a_eff = []
+        wsums = []
         wsum = []
         for kk in range(k):
             a = aff_ref[kk]  # (T, F')
+            if has_sal:
+                a = a * sal
+            a_eff.append(a)
             s = jnp.sum(a, axis=0)  # (F',)
-            weight_ref[kk] = s / t_real
+            wsums.append(s)
             wsum.append(1.0 / jnp.maximum(s, tiny))
+        if has_sal:
+            norm = wsums[0]
+            for kk in range(1, k):
+                norm = norm + wsums[kk]
+            norm = jnp.where(norm == 0, jnp.float32(1e-10), norm)
+            for kk in range(k):
+                weight_ref[kk] = wsums[kk] / norm
+        else:
+            for kk in range(k):
+                weight_ref[kk] = wsums[kk] / t_real
         for dd in range(d):
             y_rd = y_re_ref[dd]
             y_id = y_im_ref[dd]
@@ -115,7 +143,7 @@ def _cbmm_loop_kernel(y_re_ref, y_im_ref, aff0_ref,
                 p_im = (None if ee == dd
                         else y_id * y_re_ref[ee] - y_rd * y_im_ref[ee])
                 for kk in range(k):
-                    a = aff_ref[kk]
+                    a = a_eff[kk]
                     s_re = jnp.sum(a * p_re, axis=0) * wsum[kk]
                     ar[dd, ee, kk] = s_re
                     if ee == dd:
@@ -178,8 +206,7 @@ def _cbmm_loop_kernel(y_re_ref, y_im_ref, aff0_ref,
             x0 = [-1.0 / jnp.maximum(s_reg[j], 1e-12)
                   for j in range(d - 1)] + [
                 jnp.zeros(plane, jnp.float32)]
-            cap = -lower * (d - 1)  # = cap_total
-            x0 = [jnp.maximum(x0[j], -(cap - j)) for j in range(d)]
+            x0 = [jnp.maximum(x0[j], -(cap_init - j)) for j in range(d)]
             u0 = jnp.stack(
                 [x0[j] - x0[j + 1] for j in range(d - 1)], axis=0)
             u_ref[...] = jnp.clip(u0, lower, upper)
@@ -191,6 +218,18 @@ def _cbmm_loop_kernel(y_re_ref, y_im_ref, aff0_ref,
                 d=d, iterations=steps, lower=lower, upper=upper,
                 fd_step=fd_step)
         lamb = _lam_of_u(u_ref[...], d)  # (D, K, F'), max pinned 0
+        if max_concentration is not None:
+            # floor at -max_concentration, then re-apply the minimum
+            # spacing (find_eigenvalues: est = max(est, -mc) followed
+            # by _remove_duplicate_eigenvalues) — the floor can
+            # collapse the lowest eigenvalues onto -mc
+            nodes = [jnp.maximum(lamb[dd], -max_concentration)
+                     for dd in range(d)]
+            reg = [nodes[0]]
+            for j in range(1, d):
+                reg.append(reg[j - 1] + jnp.maximum(
+                    nodes[j] - nodes[j - 1], spacing_eps))
+            lamb = jnp.stack(reg, axis=0)
         lamb_ref[...] = lamb
         for dd in range(d):
             lamb_out_ref[dd] = lamb[dd]
@@ -272,13 +311,15 @@ def _cbmm_loop_kernel(y_re_ref, y_im_ref, aff0_ref,
         pass
 
 
-def choose_tile_f_cbmm(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
+def choose_tile_f_cbmm(d, k, t_pad, *, has_sal=False,
+                       vmem_budget=14 * 2 ** 20):
     """Feasible frequency-tile widths (empty for very long signals —
     the caller then falls back to the scan path). Same double-buffered
     VMEM accounting as ops/pallas_em_loop.py:choose_tile_f."""
     d1 = d - 1
     per_lane = 4 * (
-        2 * (2 * d * t_pad + k * t_pad)      # in blocks, 2 buffers
+        2 * (2 * d * t_pad + k * t_pad       # in blocks, 2 buffers
+             + (t_pad if has_sal else 0))
         + 2 * (k * t_pad + 2 * d * d * k + d * k + 2 * k)  # out blocks
         + (4 * d * d * k                      # jacobi ar/ai/br/bi
            + d1 * k + d1 * d * k + d1 * d1 * k + d * k  # u/J/Minv/g
@@ -292,24 +333,31 @@ def choose_tile_f_cbmm(d, k, t_pad, *, vmem_budget=14 * 2 ** 20):
     jax.jit,
     static_argnames=('iterations', 'sweeps', 'warm_sweeps',
                      'spacing_eps', 'affiliation_eps', 'cold_rounds',
-                     'cold_steps', 'warm_steps', 'tile_f', 'interpret'))
+                     'cold_steps', 'warm_steps', 'tile_f', 'interpret',
+                     'max_concentration'))
 def cbmm_em_full(y_re, y_im, affiliation, *,
                  iterations, sweeps=6, warm_sweeps=2,
                  spacing_eps=1e-3, affiliation_eps=0.0,
                  cold_rounds=3, cold_steps=10, warm_steps=16,
-                 tile_f=None, interpret=False):
+                 tile_f=None, interpret=False, saliency=None,
+                 max_concentration=np.inf):
     """Run a full CBMM EM fit as ONE Pallas kernel launch.
 
     Semantics match models/cbmm.py:_cbmm_fit_em with standard knobs
-    (no saliency/aligner, ``weight_constant_axis=(-1,)``,
-    ``max_concentration=inf``): ``iterations`` M-steps starting from
-    the given affiliations, E-steps between, and a final unclipped
-    E-step so the returned affiliations equal ``model.predict(y)``.
+    (no aligner, ``weight_constant_axis=(-1,)``): ``iterations``
+    M-steps starting from the given affiliations, E-steps between,
+    and a final unclipped E-step so the returned affiliations equal
+    ``model.predict(y)``. A finite ``max_concentration`` bounds the
+    chord diffs and floors the fitted eigenvalues at ``-mc`` with
+    re-spacing (find_eigenvalues semantics).
 
     Args:
         y_re / y_im: (F, D, T) unit-norm observation planes, time-last.
             A leading batch axis (B, F, D, T) folds into the bin axis.
         affiliation: (F, K, T) initial posteriors.
+        saliency: optional (F, T) per-frame importance weights
+            (scan-path semantics: weights the scatter statistics and
+            L1-normalizes the mixture weight over classes).
     Returns:
         (weight (F, K), bingham_eigenvalues (F, K, D) ascending,
         eigenvectors (F, K, D, D) complex64, log_norm (F, K),
@@ -325,17 +373,21 @@ def cbmm_em_full(y_re, y_im, affiliation, *,
             warm_sweeps=warm_sweeps, spacing_eps=spacing_eps,
             affiliation_eps=affiliation_eps, cold_rounds=cold_rounds,
             cold_steps=cold_steps, warm_steps=warm_steps,
-            tile_f=tile_f, interpret=interpret)
+            tile_f=tile_f, interpret=interpret,
+            saliency=(None if saliency is None
+                      else saliency.reshape(B * F, T)),
+            max_concentration=max_concentration)
         return (w.reshape(B, F, K), ev.reshape(B, F, K, D),
                 vec.reshape(B, F, K, D, D), lz.reshape(B, F, K),
                 aff.reshape(B, F, K, T))
 
     F, D, T = y_re.shape
     K = affiliation.shape[1]
+    has_sal = saliency is not None
 
     t_pad = -(-T // 8) * 8
     if tile_f is None:
-        candidates = choose_tile_f_cbmm(D, K, t_pad)
+        candidates = choose_tile_f_cbmm(D, K, t_pad, has_sal=has_sal)
         if not candidates:
             raise ValueError(
                 f'signal too long for the fused CBMM kernel '
@@ -350,13 +402,27 @@ def cbmm_em_full(y_re, y_im, affiliation, *,
         x = jnp.transpose(x.astype(jnp.float32), (1, 2, 0))
         return jnp.pad(x, ((0, 0), (0, t_pad - T), (0, f_pad - F)))
 
-    y_re_s = stage(y_re)
-    y_im_s = stage(y_im)
-    aff_s = stage(affiliation)
+    operands = [stage(y_re), stage(y_im), stage(affiliation)]
+    in_specs = [
+        pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
+        pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
+        pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
+    ]
+    if has_sal:
+        operands.append(jnp.pad(
+            jnp.transpose(saliency.astype(jnp.float32), (1, 0)),
+            ((0, t_pad - T), (0, f_pad - F))))
+        in_specs.append(
+            pl.BlockSpec((t_pad, tile_f), lambda i: (0, i)))
 
     # chord bounds: |lambda| <= 32768 total spread after the cumsum
-    # (the cascade's exact domain), diffs <= -spacing_eps
-    lower = -32768.0 / (D - 1)
+    # (the cascade's exact domain), diffs <= -spacing_eps; a finite
+    # max_concentration tightens the diff bound and the cold-init
+    # floor (find_eigenvalues: mc_eff, cap_total)
+    mc = float(max_concentration)
+    user_bounded = np.isfinite(mc)
+    lower = -min(mc, 32768.0 / (D - 1))
+    cap_init = min(mc, 32768.0)
     upper = -float(spacing_eps)
 
     kernel = functools.partial(
@@ -365,18 +431,16 @@ def cbmm_em_full(y_re, y_im, affiliation, *,
         spacing_eps=float(spacing_eps), lower=lower, upper=upper,
         fd_step=-1e-2, cold_rounds=cold_rounds, cold_steps=cold_steps,
         warm_steps=warm_steps,
-        affiliation_eps=float(affiliation_eps), tiny=_TINY)
+        affiliation_eps=float(affiliation_eps), tiny=_TINY,
+        has_sal=has_sal, cap_init=cap_init,
+        max_concentration=mc if user_bounded else None)
 
     d1 = D - 1
     grid = (f_pad // tile_f,)
     aff, v_re, v_im, lamb, weight, logz = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
-            pl.BlockSpec((D, t_pad, tile_f), lambda i: (0, 0, i)),
-            pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)),
             pl.BlockSpec((D, D, K, tile_f), lambda i: (0, 0, 0, i)),
@@ -411,7 +475,7 @@ def cbmm_em_full(y_re, y_im, affiliation, *,
             pltpu.VMEM((D, K, tile_f), jnp.float32),      # lamb
         ],
         interpret=interpret,
-    )(y_re_s, y_im_s, aff_s)
+    )(*operands)
 
     weight = jnp.transpose(weight)[:F]  # (F, K)
     logz = jnp.transpose(logz)[:F]

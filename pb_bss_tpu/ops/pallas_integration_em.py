@@ -33,17 +33,18 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 __all__ = ['vmfcacgmm_e_stats', 'choose_tile_f', 'stage_observation',
-           'e_stats_staged']
+           'stage_saliency', 'e_stats_staged']
 
 _TINY = float(np.finfo(np.float32).tiny)
 
 
-def choose_tile_f(d, e_dim, k, t_pad):
+def choose_tile_f(d, e_dim, k, t_pad, *, has_sal=False):
     """Largest lane tile whose double-buffered blocks fit the VMEM
     budget, or None if even 128 lanes do not fit (then the fused
     integration path is ineligible)."""
     per_lane = 4 * 2 * (
         (2 * d + e_dim) * t_pad           # y_re, y_im, emb in-blocks
+        + (t_pad if has_sal else 0)       # saliency in-block
         + 2 * d * d * k + d * k + 2 * k   # V planes, inv, logdet, weight
         + 2 * d * d * k + k + e_dim * k   # scatter, asum, resultants out
         + e_dim * k + 2 * k               # per-lane mu, kappa/const in
@@ -56,14 +57,15 @@ def choose_tile_f(d, e_dim, k, t_pad):
 
 def _e_stats_kernel(*refs, d, e_dim, k, t_real, spatial_weight,
                     spectral_weight, affiliation_eps, tiny,
-                    spectral_mode):
+                    spectral_mode, has_sal=False):
     """One frequency tile, one EM iteration's E-step + statistics.
 
     Blocks: y (D, T, F'); emb (E, T, F'); V planes (D, D, K, F');
-    inv eigenvalues (D, K, F'); logdet/weight (K, F'); spectral
-    state PER LANE (constant over lanes for a single fit; folding
-    leading batch axes into the bin axis gives each utterance its
-    own columns):
+    inv eigenvalues (D, K, F'); logdet/weight (K, F'); optional
+    saliency (T, F') appended after the spectral state when
+    ``has_sal``; spectral state PER LANE (constant over lanes for a
+    single fit; folding leading batch axes into the bin axis gives
+    each utterance its own columns):
       'vmf':      mu (E, K, F'), kappa/logC (2, K, F')
       'gaussian': precision-scaled mean (E, K, F'), per-dim
                   precisions (E, K, F'), log-norm constants (1, K, F')
@@ -71,14 +73,30 @@ def _e_stats_kernel(*refs, d, e_dim, k, t_real, spatial_weight,
     resultants ``sum_t a e`` (E, K, F'); 'gaussian' additionally the
     per-dim second moments ``sum_t a e^2`` (E, K, F').
     """
+    refs = list(refs)
     if spectral_mode == 'vmf':
-        (y_re_ref, y_im_ref, emb_ref, vre_ref, vim_ref, inv_ref,
-         logdet_ref, weight_ref, mu_ref, kappa_ref,
-         s_re_ref, s_im_ref, asum_ref, r_ref) = refs
+        n_in = 10 + int(has_sal)
+        if has_sal:
+            (y_re_ref, y_im_ref, emb_ref, vre_ref, vim_ref, inv_ref,
+             logdet_ref, weight_ref, mu_ref, kappa_ref,
+             sal_ref) = refs[:n_in]
+        else:
+            (y_re_ref, y_im_ref, emb_ref, vre_ref, vim_ref, inv_ref,
+             logdet_ref, weight_ref, mu_ref, kappa_ref) = refs[:n_in]
+            sal_ref = None
+        (s_re_ref, s_im_ref, asum_ref, r_ref) = refs[n_in:]
     else:
-        (y_re_ref, y_im_ref, emb_ref, vre_ref, vim_ref, inv_ref,
-         logdet_ref, weight_ref, mu_ref, prec_ref, const_ref,
-         s_re_ref, s_im_ref, asum_ref, r_ref, m2_ref) = refs
+        n_in = 11 + int(has_sal)
+        if has_sal:
+            (y_re_ref, y_im_ref, emb_ref, vre_ref, vim_ref, inv_ref,
+             logdet_ref, weight_ref, mu_ref, prec_ref, const_ref,
+             sal_ref) = refs[:n_in]
+        else:
+            (y_re_ref, y_im_ref, emb_ref, vre_ref, vim_ref, inv_ref,
+             logdet_ref, weight_ref, mu_ref, prec_ref,
+             const_ref) = refs[:n_in]
+            sal_ref = None
+        (s_re_ref, s_im_ref, asum_ref, r_ref, m2_ref) = refs[n_in:]
 
     t_pad = y_re_ref.shape[1]
     if t_pad == t_real:
@@ -174,6 +192,11 @@ def _e_stats_kernel(*refs, d, e_dim, k, t_real, spatial_weight,
         den = den + num[kk]
     den = jnp.maximum(den, tiny)
 
+    # With saliency the M-statistics weight by a*s (scan-path
+    # masked_affiliation = affiliation * saliency, reference
+    # gcacgmm.py:266 / vmfcacgmm.py:253); the posterior itself is
+    # never materialized, so only the masked sums leave the kernel.
+    sal = sal_ref[...] if has_sal else None  # (T, F')
     aff = []
     for kk in range(k):
         a = num[kk] / den
@@ -181,6 +204,8 @@ def _e_stats_kernel(*refs, d, e_dim, k, t_real, spatial_weight,
             a = jnp.clip(a, affiliation_eps, 1 - affiliation_eps)
         if mask is not None:
             a = a * mask
+        if has_sal:
+            a = a * sal
         aff.append(a)
         asum_ref[kk] = jnp.sum(a, axis=0)
 
@@ -236,6 +261,19 @@ def stage_observation(y_re, y_im, embedding, *, tile_f):
         ((0, 0), (0, t_pad - T), (0, f_pad - F)))
 
 
+@functools.partial(jax.jit, static_argnames=('tile_f',))
+def stage_saliency(saliency, *, tile_f):
+    """Stage (F, T) per-frame importance weights into the kernel's
+    lane-tiled (t_pad, f_pad) layout (iteration-invariant, hoisted
+    like :func:`stage_observation`)."""
+    F, T = saliency.shape
+    t_pad = -(-T // 8) * 8
+    f_pad = -(-F // tile_f) * tile_f
+    return jnp.pad(
+        jnp.transpose(saliency.astype(jnp.float32), (1, 0)),
+        ((0, t_pad - T), (0, f_pad - F)))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('f_real', 't_real', 'spatial_weight',
@@ -243,7 +281,8 @@ def stage_observation(y_re, y_im, embedding, *, tile_f):
                      'interpret', 'spectral_mode'))
 def e_stats_staged(y_re_s, y_im_s, emb_s, v_re, v_im,
                    inv_eigenvalues, logdet, weight, mu, kappa,
-                   log_c, *, f_real, t_real, spatial_weight=1.,
+                   log_c, saliency_s=None, *, f_real, t_real,
+                   spatial_weight=1.,
                    spectral_weight=1., affiliation_eps=1e-10,
                    tile_f, interpret=False, spectral_mode='vmf'):
     """Fused E-step + M-statistics over all frequency tiles.
@@ -262,6 +301,11 @@ def e_stats_staged(y_re_s, y_im_s, emb_s, v_re, v_im,
                 per-dim precisions (F, K, E) (spherical: broadcast
                 the scalar); constants ``0.5 mu.P.mu + log_norm``
                 (F, K).
+    ``saliency_s``: optional pre-staged (t_pad, f_pad) per-frame
+    importance weights from :func:`stage_saliency` — when given,
+    every statistic weights by ``a * s`` (the scan path's
+    ``masked_affiliation``).
+
     Returns:
         (scatter (F, K, D, D) complex64 = sum_t (a/q) y y^H,
         affiliation_sum (F, K), resultants (F, K, E) = sum_t a e
@@ -269,6 +313,7 @@ def e_stats_staged(y_re_s, y_im_s, emb_s, v_re, v_im,
         mode]; the caller reduces resultants/moments over its
         per-utterance bin ranges).
     """
+    has_sal = saliency_s is not None
     D, t_pad, f_pad = y_re_s.shape
     E = emb_s.shape[0]
     K = weight.shape[1]
@@ -323,8 +368,12 @@ def e_stats_staged(y_re_s, y_im_s, emb_s, v_re, v_im,
         spatial_weight=float(spatial_weight),
         spectral_weight=float(spectral_weight),
         affiliation_eps=float(affiliation_eps), tiny=_TINY,
-        spectral_mode=spectral_mode)
+        spectral_mode=spectral_mode, has_sal=has_sal)
 
+    sal_in = [saliency_s] if has_sal else []
+    sal_in_specs = (
+        [pl.BlockSpec((t_pad, tile_f), lambda i: (0, i))]
+        if has_sal else [])
     s_re, s_im, asum, r, *extra = pl.pallas_call(
         kernel,
         grid=(f_pad // tile_f,),
@@ -339,6 +388,7 @@ def e_stats_staged(y_re_s, y_im_s, emb_s, v_re, v_im,
             pl.BlockSpec((K, tile_f), lambda i: (0, i)),
             pl.BlockSpec((E, K, tile_f), lambda i: (0, 0, i)),
             *extra_in_specs,
+            *sal_in_specs,
         ],
         out_specs=[
             pl.BlockSpec((D, D, K, tile_f), lambda i: (0, 0, 0, i)),
@@ -356,7 +406,7 @@ def e_stats_staged(y_re_s, y_im_s, emb_s, v_re, v_im,
         ],
         interpret=interpret,
     )(y_re_s, y_im_s, emb_s, v_re_s, v_im_s, inv_s, logdet_s,
-      weight_s, mu_s, *extra_in)
+      weight_s, mu_s, *extra_in, *sal_in)
 
     scatter = (jnp.transpose(s_re, (3, 2, 0, 1))
                + 1j * jnp.transpose(s_im, (3, 2, 0, 1)))[:F]
@@ -372,29 +422,33 @@ def vmfcacgmm_e_stats(y_re, y_im, embedding, v_re, v_im,
                       inv_eigenvalues, logdet, weight, mu, kappa,
                       log_c, *, spatial_weight=1., spectral_weight=1.,
                       affiliation_eps=1e-10, tile_f=None,
-                      interpret=False):
+                      interpret=False, saliency=None):
     """Convenience one-shot: stage, then run one fused E+stats pass.
 
-    Args: y_re / y_im: (F, D, T); embedding: (F, E, T) raw; the rest
-    as :func:`e_stats_staged`. The EM scan in
-    ``models/vmfcacgmm.py`` uses the split functions instead so the
-    observation staging happens once per fit.
+    Args: y_re / y_im: (F, D, T); embedding: (F, E, T) raw; saliency:
+    optional (F, T); the rest as :func:`e_stats_staged`. The EM scan
+    in ``models/vmfcacgmm.py`` uses the split functions instead so
+    the observation staging happens once per fit.
     """
     F, D, T = y_re.shape
     E = embedding.shape[1]
     K = weight.shape[1]
     if tile_f is None:
-        tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8)
+        tile_f = choose_tile_f(D, E, K, -(-T // 8) * 8,
+                               has_sal=saliency is not None)
         if tile_f is None:
             raise ValueError(
                 f'signal too long for the fused integration E-step '
                 f'(T={T}, D={D}, E={E})')
     staged = stage_observation(y_re, y_im, embedding, tile_f=tile_f)
+    sal_s = (None if saliency is None
+             else stage_saliency(saliency, tile_f=tile_f))
     scatter, asum, r = e_stats_staged(
         *staged, v_re, v_im, inv_eigenvalues, logdet, weight,
         jnp.broadcast_to(mu[None], (F,) + mu.shape),
         jnp.broadcast_to(kappa[None], (F,) + kappa.shape),
         jnp.broadcast_to(log_c[None], (F,) + log_c.shape),
+        sal_s,
         f_real=F, t_real=T,
         spatial_weight=spatial_weight, spectral_weight=spectral_weight,
         affiliation_eps=affiliation_eps, tile_f=tile_f,

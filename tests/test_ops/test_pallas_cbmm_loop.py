@@ -103,17 +103,61 @@ def test_auto_gate_off_on_cpu():
         np.asarray(m_scan.complex_bingham.covariance_eigenvalues))
 
 
+def test_fused_saliency_matches_scan():
+    """Saliency-weighted scatter statistics and the L1-normalized
+    mixture weight must match the scan path in-kernel."""
+    y, aff0, _ = _mixture(seed=6)
+    rng = np.random.default_rng(6)
+    saliency = jnp.asarray(
+        rng.uniform(0.3, 1.0, size=(F, T)), jnp.float32)
+    trainer = CBMMTrainer(eigenvalue_eps=1e-3)
+    m_fused = trainer.fit(
+        y, initialization=aff0, iterations=ITERS,
+        saliency=saliency, use_fused_em=True)
+    m_scan = trainer.fit(
+        y, initialization=aff0, iterations=ITERS,
+        saliency=saliency, use_fused_em=False)
+    assert_allclose(
+        np.asarray(m_fused.weight), np.asarray(m_scan.weight),
+        atol=5e-3)
+    assert_allclose(
+        np.asarray(m_fused.complex_bingham.covariance_eigenvalues),
+        np.asarray(m_scan.complex_bingham.covariance_eigenvalues),
+        rtol=5e-2, atol=0.5)
+
+
+def test_fused_max_concentration_matches_scan():
+    """A finite max_concentration bounds the chord diffs and floors
+    the fitted eigenvalues at -mc with re-spacing in-kernel
+    (find_eigenvalues semantics)."""
+    y, aff0, _ = _mixture(seed=7, noise=0.02)  # low noise -> clip binds
+    mc = 20.0
+    trainer = CBMMTrainer(max_concentration=mc, eigenvalue_eps=1e-3)
+    m_fused = trainer.fit(
+        y, initialization=aff0, iterations=ITERS, use_fused_em=True)
+    m_scan = trainer.fit(
+        y, initialization=aff0, iterations=ITERS, use_fused_em=False)
+    ev_f = np.asarray(m_fused.complex_bingham.covariance_eigenvalues)
+    ev_s = np.asarray(m_scan.complex_bingham.covariance_eigenvalues)
+    # the clip must actually bind for this assertion to mean anything
+    assert ev_s.min() <= -mc + 1.0, ev_s.min()
+    assert ev_f.min() >= -mc - 1e-4
+    assert_allclose(ev_f, ev_s, rtol=5e-2, atol=0.5)
+    assert_allclose(
+        np.asarray(m_fused.weight), np.asarray(m_scan.weight),
+        atol=5e-3)
+
+
 def test_forced_fused_rejects_unsupported_knobs():
-    """use_fused_em=True must not silently drop saliency weighting or
-    the concentration clip (the kernel implements neither)."""
+    """use_fused_em=True must not silently drop inline permutation
+    alignment (the kernel does not implement it)."""
     import pytest
 
+    from pb_bss_tpu.permutation_alignment import DHTVPermutationAlignment
+
     y, aff0, _ = _mixture(seed=6)
-    saliency = jnp.ones(aff0[:, 0, :].shape, jnp.float32)
+    aligner = DHTVPermutationAlignment.from_stft_size(512)
     with pytest.raises(AssertionError, match='use_fused_em'):
         CBMMTrainer().fit(
             y, initialization=aff0, iterations=2,
-            saliency=saliency, use_fused_em=True)
-    with pytest.raises(AssertionError, match='use_fused_em'):
-        CBMMTrainer(max_concentration=100.0).fit(
-            y, initialization=aff0, iterations=2, use_fused_em=True)
+            inline_permutation_aligner=aligner, use_fused_em=True)

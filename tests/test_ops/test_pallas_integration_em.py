@@ -226,6 +226,51 @@ def test_batched_fit_folds_into_bins(model):
     assert_allclose(np.asarray(aff.sum(-2)), 1.0, atol=1e-5)
 
 
+@pytest.mark.parametrize('model', ['vmf', 'gcacg'])
+def test_trainer_fused_saliency_matches_scan(model):
+    """Saliency weights every in-kernel M-statistic (a*s) and the
+    L1-normalized weight, matching the scan path's
+    masked_affiliation semantics."""
+    from pb_bss_tpu.models.gcacgmm import GCACGMMTrainer
+    obs, emb = _problem(F=9, T=32)
+    rng = np.random.default_rng(8)
+    saliency = jnp.asarray(
+        rng.uniform(0.3, 1.0, size=obs.shape[:2]), jnp.float32)
+    if model == 'vmf':
+        tr = VMFCACGMMTrainer()
+        kw = {}
+    else:
+        tr = GCACGMMTrainer()
+        kw = {'covariance_type': 'diagonal'}
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    m_f = tr.fit(obs, emb, num_classes=3, iterations=3,
+                 saliency=saliency, use_fused_em=True, **kw)
+    m_s = tr.fit(obs, emb, num_classes=3, iterations=3,
+                 saliency=saliency, use_fused_em=False, **kw)
+    assert_allclose(np.asarray(m_f.weight, np.float64),
+                    np.asarray(m_s.weight, np.float64), atol=1e-4)
+    assert_allclose(
+        np.asarray(m_f.cacg.covariance_eigenvalues, np.float64),
+        np.asarray(m_s.cacg.covariance_eigenvalues, np.float64),
+        atol=1e-3)
+    if model == 'vmf':
+        assert_allclose(np.asarray(m_f.vmf.mean, np.float64),
+                        np.asarray(m_s.vmf.mean, np.float64),
+                        atol=1e-3)
+        assert_allclose(
+            np.asarray(m_f.vmf.concentration, np.float64),
+            np.asarray(m_s.vmf.concentration, np.float64),
+            rtol=1e-3, atol=1e-3)
+    else:
+        assert_allclose(np.asarray(m_f.gaussian.mean, np.float64),
+                        np.asarray(m_s.gaussian.mean, np.float64),
+                        atol=1e-4)
+        assert_allclose(
+            np.asarray(m_f.gaussian.covariance, np.float64),
+            np.asarray(m_s.gaussian.covariance, np.float64),
+            rtol=1e-3, atol=1e-6)
+
+
 def test_fused_ineligible_on_cpu_auto():
     """'auto' must not route to the (interpret, slow) kernel on CPU."""
     from pb_bss_tpu.models.vmfcacgmm import _fused_integration_eligible
