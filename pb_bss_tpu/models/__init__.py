@@ -70,6 +70,10 @@ from .vmfcacgmm import (  # noqa: F401
     VMFCACGMM,
     VMFCACGMMTrainer,
 )
+from .fca import (  # noqa: F401
+    FCA,
+    FCATrainer,
+)
 from . import mixture_model_utils  # noqa: F401
 from .mixture_model_utils import (  # noqa: F401
     estimate_mixture_weight,
