@@ -35,6 +35,7 @@ reference's (F, T, D) observations.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -81,11 +82,15 @@ class FCA(Model):
         """Per-source Wiener gains in the diagonalized domain.
 
         Returns (F, K, D, T) real in [0, 1], summing to 1 over K.
+        The per-class epsilon is ``_EPS / K`` so the epsilons sum to
+        ``_EPS`` over the K axis being normalized (ties broken evenly
+        when every source variance vanishes).
         """
         power = self.power if t_axis_power is None else t_axis_power
+        K = power.shape[-2]
         numerator = jnp.einsum(
             'fkt,fkd->fkdt', power, self.eigenvalue,
-            precision='highest') + _EPS / power.shape[-3]
+            precision='highest') + _EPS / K
         return numerator / jnp.sum(numerator, axis=-3, keepdims=True)
 
     def predict(self, y=None):
@@ -111,16 +116,28 @@ class FCA(Model):
         y_int = jnp.swapaxes(y, -2, -1)  # (F, D, T)
         _, z = _transformed_power(self.diagonalizer, y_int)
         z_k = self._gains() * z[:, None]  # (F, K, D, T)
+        # Route the back-transform through stable_solve so a
+        # degenerate fit (near-singular Q in some bins) degrades to
+        # the pinv fallback instead of silently emitting inf/nan —
+        # same singularity posture as the rest of the package.
         with jax.default_matmul_precision('float32'):
-            q_inv = jnp.linalg.inv(self.diagonalizer)
+            q_inv = stable_solve(
+                self.diagonalizer,
+                jnp.broadcast_to(
+                    jnp.eye(self.diagonalizer.shape[-1],
+                            dtype=self.diagonalizer.dtype),
+                    self.diagonalizer.shape))
         images = jnp.einsum(
             'fde,fket->fkdt', q_inv, z_k, precision='highest')
         return jnp.swapaxes(images, -2, -1)
 
     def log_likelihood(self, y):
         """Exact average log-likelihood per (f, t) frame (up to the
-        ``-D log pi`` constant). Monotone under the trainer's updates;
-        used by the tests as the convergence invariant."""
+        ``-D log pi`` constant). Monotone under the trainer's updates
+        up to the post-update eigenvalue floor and the additive
+        ``_EPS`` regularization of the power update (each can shave
+        O(1e-8) off the likelihood); the convergence test asserts
+        monotonicity with a matching tolerance."""
         y = jnp.asarray(y)
         y_int = jnp.swapaxes(y, -2, -1)
         p, _ = _transformed_power(self.diagonalizer, y_int)
@@ -204,6 +221,16 @@ class FCATrainer:
                 K = num_classes
                 assert key is not None, (
                     'key is required for random initialization'
+                )
+                warnings.warn(
+                    'Blind FCA fit (initialization=None): the random '
+                    'log-normal init escapes the symmetric stationary '
+                    'point but still measures ~5x worse separation '
+                    'MSE than warm-starting from mixture-model masks '
+                    '(docs/DESIGN.md). For production quality pass '
+                    'initialization=<(F, K, T) masks>, e.g. a cACGMM '
+                    'fit_predict output.',
+                    stacklevel=2,
                 )
                 # Per-(f, k, d) log-normal spatial spectra:
                 # independent random spectra per frequency escape the

@@ -88,6 +88,15 @@ def separate(
     """
     observation = jnp.asarray(observation)
     assert observation.ndim == 2, observation.shape
+    # Validate the static-arg combination up front (before any EM
+    # work is traced) so an invalid call fails immediately.
+    if refine is not None:
+        if refine != 'fca':
+            raise ValueError(f'Unknown refine stage: {refine!r}')
+        if beamformer is not None:
+            raise ValueError(
+                'refine and beamformer are mutually exclusive, got '
+                f'refine={refine!r}, beamformer={beamformer!r}')
     num_samples = observation.shape[-1]
     if key is None:
         key = jax.random.key(0)
@@ -123,9 +132,6 @@ def separate(
     masks = pa(jnp.einsum('fkt->kft', affiliation))  # (K, F, T)
 
     if refine is not None:
-        assert refine == 'fca', refine
-        assert beamformer is None, (
-            'refine and beamformer are mutually exclusive', beamformer)
         from .models.fca import FCATrainer
         fca = FCATrainer().fit(
             Y, initialization=jnp.einsum('kft->fkt', masks),

@@ -6,6 +6,7 @@ updates, unity partition of the Wiener masks/images, per-frequency
 separation quality vs the mixture baseline, serialization round trip.
 """
 import itertools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -136,6 +137,20 @@ def test_serialization_round_trip(fitted):
         np.asarray(model.diagonalizer))
     leaves = jax.tree_util.tree_leaves(restored)
     assert len(leaves) == 3
+
+
+def test_blind_fit_warns():
+    """A blind fit (no mask warm-start) must point the user at the
+    measured ~5x quality gap (docs/DESIGN.md)."""
+    y, _, _ = _scenario(seed=2, F=2, T=32)
+    with pytest.warns(UserWarning, match='Blind FCA fit'):
+        FCATrainer().fit(
+            y, num_classes=2, iterations=1, key=jax.random.PRNGKey(0))
+    # No warning when warm-started from masks.
+    masks = jnp.full((2, 2, 32), 0.5)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        FCATrainer().fit(y, initialization=masks, iterations=1)
 
 
 def test_input_validation():
