@@ -19,7 +19,9 @@ free per (frequency, time) — the classic full-rank "spatial image"
 model for reverberant mixtures — yet thanks to the shared
 diagonalizer no per-(f, t) matrix inversion is ever needed.
 
-Fitting alternates two provably monotone steps, both batched einsums
+Fitting alternates two steps that are monotone up to the eigenvalue
+floor and epsilon regularization applied after each update (the tests
+bound per-iteration likelihood decrease by 1e-8), both batched einsums
 (TPU-friendly — no data-dependent control flow, static shapes):
 
 * multiplicative updates for ``v`` and ``lambda`` (the standard

@@ -1,0 +1,96 @@
+"""OutputMetricsBatch vs a loop of single-utterance OutputMetrics.
+
+The host facade is the oracle (itself validated against the
+reference's external-library goldens). The batched device facade must
+reproduce every metric per utterance, including the permutation
+selection that aligns them, on CPU-x64 to near machine precision.
+"""
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from pb_bss_tpu.evaluation import OutputMetrics, OutputMetricsBatch
+
+
+def _utterance(seed, k=2, t=8000, extra_noise_estimate=False):
+    rng = np.random.RandomState(seed)
+    source = rng.randn(k, t)
+    contribution = np.stack([
+        np.stack([
+            np.convolve(source[i], rng.randn(12) * 0.4)[:t]
+            * (1.0 if i == j else 0.15)
+            for j in range(k)
+        ])
+        for i in range(k)
+    ])  # (K_source, K_target, T)
+    noise_contribution = 0.1 * rng.randn(k, t)
+    prediction = contribution.sum(0) + noise_contribution
+    if extra_noise_estimate:
+        extra = 0.5 * rng.randn(1, t)
+        prediction = np.concatenate([prediction, extra], axis=0)
+        contribution = np.concatenate(
+            [contribution, np.zeros((k, 1, t))], axis=1)
+        noise_contribution = np.concatenate(
+            [noise_contribution, extra], axis=0)
+    # Scramble the estimate order so the permutation search matters.
+    perm = np.roll(np.arange(prediction.shape[0]), seed % 2 + 1)
+    return (source, prediction[perm], contribution[:, perm],
+            noise_contribution[perm])
+
+
+@pytest.mark.parametrize('extra', [False, True])
+def test_batch_matches_host_loop(extra):
+    utts = [_utterance(s, extra_noise_estimate=extra)
+            for s in (0, 1, 2)]
+    batch = OutputMetricsBatch(
+        speech_prediction=np.stack([u[1] for u in utts]),
+        speech_source=np.stack([u[0] for u in utts]),
+        speech_contribution=np.stack([u[2] for u in utts]),
+        noise_contribution=np.stack([u[3] for u in utts]),
+        sample_rate=8000,
+        enable_si_sdr=True,
+    )
+    got = batch.as_dict()
+    assert 'pesq' not in got  # optional library absent, like the host
+
+    for b, (source, prediction, contribution, noise) in enumerate(utts):
+        expected = OutputMetrics(
+            speech_prediction=prediction,
+            speech_source=source,
+            speech_contribution=contribution,
+            noise_contribution=noise,
+            sample_rate=8000,
+            enable_si_sdr=True,
+        ).as_dict()
+        assert_allclose(
+            got['mir_eval_selection'][b], expected['mir_eval_selection'])
+        for key in ('mir_eval_sdr', 'mir_eval_sir', 'mir_eval_sar'):
+            assert_allclose(got[key][b], expected[key], atol=1e-7,
+                            err_msg=key)
+        assert_allclose(got['stoi'][b], expected['stoi'], atol=1e-9)
+        assert_allclose(got['si_sdr'][b], expected['si_sdr'], atol=1e-7)
+        for key in ('invasive_sdr', 'invasive_sir', 'invasive_snr'):
+            assert_allclose(got[key][b], expected[key], atol=1e-10,
+                            err_msg=key)
+        assert_allclose(got['srmr'][b], expected['srmr'], atol=1e-10)
+
+
+def test_multi_leading_dims_and_errors():
+    utts = [_utterance(s) for s in (3, 4, 5, 6)]
+    preds = np.stack([u[1] for u in utts]).reshape(2, 2, 2, -1)
+    sources = np.stack([u[0] for u in utts]).reshape(2, 2, 2, -1)
+    batch = OutputMetricsBatch(
+        speech_prediction=preds, speech_source=sources,
+        sample_rate=8000)
+    assert batch['mir_eval_sdr'].shape == (2, 2, 2)
+    assert batch['stoi'].shape == (2, 2, 2)
+
+    with pytest.raises(ValueError):
+        _ = batch['si_sdr']  # disabled by default
+    with pytest.raises(KeyError):
+        _ = batch['invasive_sdr']  # no contribution signals
+    with pytest.raises(AssertionError):
+        OutputMetricsBatch(
+            speech_prediction=utts[0][1],  # single utterance
+            speech_source=utts[0][0],
+            sample_rate=8000)
