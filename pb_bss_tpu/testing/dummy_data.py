@@ -15,9 +15,18 @@ Returned dict schema matches the reference:
 """
 from __future__ import annotations
 
+import json
+import os
+from pathlib import Path
+
 import numpy as np
 
-__all__ = ['low_reverberation_data', 'reverberation_data']
+__all__ = [
+    'low_reverberation_data',
+    'reverberation_data',
+    'real_test_data_root',
+    'real_audio_data',
+]
 
 SAMPLE_RATE = 8000
 NUM_SAMPLES = 38520  # matches the reference example length
@@ -98,3 +107,81 @@ def low_reverberation_data(seed=0):
 def reverberation_data(seed=1):
     """2-speaker 6-channel scenario with a longer diffuse tail."""
     return _scenario(seed, rir_taps=512, decay=180.0, snr_db=15)
+
+
+# ---------------------------------------------------------------------
+# Opt-in loader for a locally cached pb_test_data checkout.
+#
+# The reference fetches github.com/fgnt/pb_test_data over the network at
+# test time (pb_bss/testing/dummy_data.py:10-118) and pins exact SDR
+# goldens on it. This framework never touches the network; instead,
+# point PB_BSS_TPU_TEST_DATA at a local checkout (either the repository
+# root containing bss_data/, or the bss_data/ directory itself) and the
+# real-audio golden tests (tests/test_models/test_real_audio_goldens.py)
+# run on it — they skip cleanly when the variable is unset.
+# ---------------------------------------------------------------------
+
+_TEST_DATA_ENV = 'PB_BSS_TPU_TEST_DATA'
+
+
+def real_test_data_root():
+    """The bss_data directory of a locally cached pb_test_data
+    checkout (from ``$PB_BSS_TPU_TEST_DATA``), or None when absent."""
+    root = os.environ.get(_TEST_DATA_ENV)
+    if not root:
+        return None
+    root = Path(root)
+    for candidate in (root, root / 'bss_data',
+                      root / 'pb_test_data-master' / 'bss_data'):
+        if (candidate / 'bss_data.json').is_file():
+            return candidate
+    return None
+
+
+def _read_wav(path):
+    """(channels-first, float64 in [-1, 1]) like soundfile.read().T."""
+    try:
+        import soundfile
+        data, _ = soundfile.read(path)
+        return data.T
+    except ImportError:
+        import scipy.io.wavfile
+        _, data = scipy.io.wavfile.read(path)
+        if data.dtype.kind == 'i':
+            data = data / float(np.iinfo(data.dtype).max + 1)
+        elif data.dtype.kind == 'u':  # 8-bit wav is unsigned
+            data = (data - 128.0) / 128.0
+        return np.asarray(data, np.float64).T
+
+
+def _read_audio_tree(obj):
+    if isinstance(obj, dict):
+        return {k: _read_audio_tree(v) for k, v in obj.items()}
+    if isinstance(obj, (tuple, list)):
+        return np.array([_read_audio_tree(e) for e in obj])
+    return _read_wav(obj)
+
+
+def real_audio_data(example_id):
+    """One example ('low_reverberation' / 'reverberation') of the
+    locally cached pb_test_data, in the reference's schema: the json
+    entry plus 'audio_data' with observation (D, T), speech_source
+    (K, T), speech_image (K, D, T), noise_image (D, T).
+
+    Raises FileNotFoundError when ``$PB_BSS_TPU_TEST_DATA`` does not
+    point at a pb_test_data checkout (tests skip on that).
+    """
+    root = real_test_data_root()
+    if root is None:
+        raise FileNotFoundError(
+            f'set ${_TEST_DATA_ENV} to a local pb_test_data checkout '
+            f'(https://github.com/fgnt/pb_test_data) to enable '
+            f'real-audio tests')
+    text = (root / 'bss_data.json').read_text()
+    text = text.replace('${DB_DIR}', str(root))
+    data = json.loads(text)
+    example = data['datasets']['test'][example_id]
+    example = dict(example, example_id=example_id)
+    example['audio_data'] = _read_audio_tree(example['audio_path'])
+    example['sample_rate'] = SAMPLE_RATE
+    return example
