@@ -11,11 +11,21 @@ synthetic scenario with the *same* explicit initialization:
     fit (80 EM iterations) -> DHTV alignment -> mask -> metrics
 
 and the repo's per-speaker Delta-SDR must match or beat the
-reference's minus 0.5 dB (both invasive SXR and BSS-eval).  For the
-cACGMM the aligned masks themselves agree to ~1e-11, so the score
-comparison is a formality; for the CWMM the concentration
-interpolation differs slightly (linear vs quadratic grid) and only the
-score-level bound is asserted.
+reference's minus the measured run-to-run noise: every head-to-head
+fits 5 extra seeds of this framework's pipeline, takes 2x the
+per-speaker standard deviation of the Delta-SDR across those seeds
+(floored at 0.05 dB of metric wiggle), and requires
+
+    ours(shared init) >= reference(shared init) - 2 sigma.
+
+Every trainer family is covered: cACGMM (where the aligned masks
+additionally agree to ~1e-11, so the score bound is a formality),
+CWMM (concentration interpolation differs slightly — linear vs
+quadratic grid — so only the score bound holds), CBMM (the reference
+smoke-tests 4 iterations because its per-bin scipy solver is slow;
+same recipe here), and the GCACGMM / VMFCACGMM integration models on
+a shared oracle-informed embedding standing in for a deep-clustering
+network output.
 """
 import sys
 
@@ -26,7 +36,13 @@ sys.path.insert(0, str(__import__('pathlib').Path(__file__).parents[1]))
 from _reference_loader import load_reference, reference_available
 
 from pb_bss_tpu.evaluation.wrapper import InputMetrics, OutputMetrics
-from pb_bss_tpu.models import CACGMMTrainer, CWMMTrainer
+from pb_bss_tpu.models import (
+    CACGMMTrainer,
+    CBMMTrainer,
+    CWMMTrainer,
+    GCACGMMTrainer,
+    VMFCACGMMTrainer,
+)
 from pb_bss_tpu.permutation_alignment import DHTVPermutationAlignment
 from pb_bss_tpu.testing.dummy_data import (
     low_reverberation_data,
@@ -46,6 +62,16 @@ def ref():
     return load_reference([
         'pb_bss.distribution.cacgmm',
         'pb_bss.distribution.cwmm',
+        'pb_bss.permutation_alignment',
+    ])
+
+
+@pytest.fixture(scope='module')
+def ref2():
+    return load_reference([
+        'pb_bss.distribution.cbmm',
+        'pb_bss.distribution.gcacgmm',
+        'pb_bss.distribution.vmfcacgmm',
         'pb_bss.permutation_alignment',
     ])
 
@@ -85,10 +111,31 @@ class _Scenario:
             sample_rate=8000,
         )
         F, T, _ = self.Y_mm.shape
-        rng = np.random.RandomState(0)
+        self.initialization = self.make_initialization(0)
+
+    def make_initialization(self, seed):
+        F, T, _ = self.Y_mm.shape
+        rng = np.random.RandomState(seed)
         init = rng.uniform(size=(F, 3, T))
         init /= init.sum(-2, keepdims=True)
-        self.initialization = init
+        return init
+
+    def embedding(self, E=20, seed=11):
+        """Oracle-informed (F, T, E) embedding shared by both
+        pipelines — a stand-in for the deep-clustering network output
+        the integration models were designed around (reference:
+        gcacgmm.py:10-16): a random projection of the oracle power
+        ratios plus noise, unit-normalized."""
+        speech_power = np.abs(self.Speech_image[:, 0]) ** 2  # (K, T, F)
+        noise_power = np.abs(self.Noise_image[0]) ** 2       # (T, F)
+        power = np.concatenate(
+            [speech_power, noise_power[None]])               # (3, T, F)
+        ratio = power / np.maximum(power.sum(0), 1e-12)
+        rng = np.random.RandomState(seed)
+        emb = np.einsum('ktf,ke->fte', ratio, rng.randn(3, E))
+        emb += 0.3 * rng.randn(*emb.shape)
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+        return emb
 
     def delta_sdr(self, affiliation_pa_kft):
         """Mask the reference channel, resynthesize, and return the
@@ -119,17 +166,37 @@ class _Scenario:
         }
 
 
-def _assert_matches_or_beats(scores_ours, scores_ref, tol_db=0.5):
+def _measure_sigma(sc, run_from_init, n_seeds=5):
+    """Run-to-run spread of this framework's pipeline: per-speaker
+    standard deviation of the Delta-SDR across ``n_seeds`` random
+    initializations.  Returns {metric: 2 sigma} tolerances, floored at
+    0.05 dB (metric-level wiggle)."""
+    per_seed = [
+        sc.delta_sdr(run_from_init(sc.make_initialization(1000 + seed)))
+        for seed in range(n_seeds)
+    ]
+    return {
+        key: np.maximum(
+            2.0 * np.std([s[key] for s in per_seed], axis=0), 0.05)
+        for key in ('invasive', 'mir_eval')
+    }
+
+
+def _assert_matches_or_beats(scores_ours, scores_ref, tol_db):
+    """tol_db: scalar or {metric: per-speaker array} from
+    ``_measure_sigma``."""
     for key in ('invasive', 'mir_eval'):
         ours, theirs = scores_ours[key], scores_ref[key]
-        assert np.all(ours >= theirs - tol_db), (
-            f'{key}: ours={ours} vs reference={theirs}')
+        tol = tol_db[key] if isinstance(tol_db, dict) else tol_db
+        assert np.all(ours >= theirs - tol), (
+            f'{key}: ours={ours} vs reference={theirs} (tol={tol})')
 
 
-def _run_ours(Trainer, sc, iterations=80):
+def _run_ours(Trainer, sc, iterations=80, initialization=None):
     model = Trainer().fit(
         sc.Y_mm,
-        initialization=sc.initialization,
+        initialization=(sc.initialization if initialization is None
+                        else initialization),
         iterations=iterations,
         weight_constant_axis=-1,
     )
@@ -160,8 +227,11 @@ def test_cacgmm_head_to_head(ref, reverberation):
         ref['pb_bss.permutation_alignment'], sc)
     # Identical init -> the whole fit+PA pipeline agrees numerically.
     np.testing.assert_allclose(masks_ours, masks_ref, atol=1e-6)
+    tol = _measure_sigma(
+        sc, lambda init: _run_ours(CACGMMTrainer, sc,
+                                   initialization=init))
     _assert_matches_or_beats(
-        sc.delta_sdr(masks_ours), sc.delta_sdr(masks_ref))
+        sc.delta_sdr(masks_ours), sc.delta_sdr(masks_ref), tol)
 
 
 @pytest.mark.slow
@@ -171,5 +241,64 @@ def test_cwmm_head_to_head(ref):
     masks_ref = _run_reference(
         ref['pb_bss.distribution.cwmm'].CWMMTrainer(),
         ref['pb_bss.permutation_alignment'], sc)
+    tol = _measure_sigma(
+        sc, lambda init: _run_ours(CWMMTrainer, sc, initialization=init))
     _assert_matches_or_beats(
-        sc.delta_sdr(masks_ours), sc.delta_sdr(masks_ref))
+        sc.delta_sdr(masks_ours), sc.delta_sdr(masks_ref), tol)
+
+
+@pytest.mark.slow
+def test_cbmm_head_to_head(ref2):
+    # The reference smoke-tests 4 Bingham EM iterations because its
+    # per-bin scipy solver is slow (reference test_spatial_mm.py:
+    # 139-149); the head-to-head replays the same short recipe.
+    sc = _Scenario(reverberation=False)
+    masks_ours = _run_ours(CBMMTrainer, sc, iterations=4)
+    masks_ref = _run_reference(
+        ref2['pb_bss.distribution.cbmm'].CBMMTrainer(),
+        ref2['pb_bss.permutation_alignment'], sc, iterations=4)
+    tol = _measure_sigma(
+        sc, lambda init: _run_ours(CBMMTrainer, sc, iterations=4,
+                                   initialization=init))
+    _assert_matches_or_beats(
+        sc.delta_sdr(masks_ours), sc.delta_sdr(masks_ref), tol)
+
+
+def _run_integration_ours(Trainer, sc, emb, init, iterations=40):
+    affiliation = np.asarray(Trainer().fit_predict(
+        sc.Y_mm, emb,
+        initialization=init,
+        iterations=iterations,
+        weight_constant_axis=(-1,),
+    ))
+    return np.einsum('fkt->kft', affiliation)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('family', ['gcacgmm', 'vmfcacgmm'])
+def test_integration_head_to_head(ref2, family):
+    """GCACGMM / VMFCACGMM on a shared oracle-informed embedding.
+    The spectral model couples classes across frequency, so no
+    post-hoc permutation alignment is applied (matching the
+    integration models' intended use, reference gcacgmm.py:10-16)."""
+    Trainer = {'gcacgmm': GCACGMMTrainer,
+               'vmfcacgmm': VMFCACGMMTrainer}[family]
+    ref_trainer = getattr(
+        ref2[f'pb_bss.distribution.{family}'],
+        {'gcacgmm': 'GCACGMMTrainer',
+         'vmfcacgmm': 'VMFCACGMMTrainer'}[family])()
+    sc = _Scenario(reverberation=False)
+    emb = sc.embedding()
+    masks_ours = _run_integration_ours(
+        Trainer, sc, emb, sc.initialization)
+    affiliation_ref = ref_trainer.fit_predict(
+        sc.Y_mm, emb,
+        initialization=sc.initialization.copy(),
+        iterations=40,
+        weight_constant_axis=(-1,),
+    )
+    masks_ref = np.einsum('fkt->kft', affiliation_ref)
+    tol = _measure_sigma(
+        sc, lambda init: _run_integration_ours(Trainer, sc, emb, init))
+    _assert_matches_or_beats(
+        sc.delta_sdr(masks_ours), sc.delta_sdr(masks_ref), tol)
