@@ -392,7 +392,16 @@ class DHTVPermutationAlignment(_PermutationAlignment):
 
     @functools.partial(jax.jit, static_argnames=('self',))
     def calculate_mapping(self, mask):
-        """Reverse mapping (K, F) for a permuted mask (K, F, T)."""
+        """Reverse mapping (K, F) for a permuted mask (K, F, T).
+
+        Sharding note: the plan loop below walks *overlapping*
+        frequency segments sequentially, so under an 'f'-sharded mesh
+        GSPMD would reshard (allgather) the features once per segment.
+        Callers that run inside a frequency-sharded program should
+        replicate the (small) mask before calling and re-constrain the
+        result — :func:`pb_bss_tpu.pipeline.separate` does exactly
+        that; see docs/DESIGN.md, "DHTV under frequency sharding".
+        """
         mask = jnp.asarray(mask)
         K, F, _ = mask.shape
         assert F % 2 == 1, (F, 'Sure? Usually F is odd.')
