@@ -40,6 +40,7 @@ __all__ = ['CACGMM', 'CACGMMTrainer', 'sample_cacgmm']
 
 
 from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
+from ._precision import em_matmul_precision
 
 
 def sample_cacgmm(size, weight, covariance, return_label=False, key=None):
@@ -297,7 +298,7 @@ def _fit_em_t_blocked(y, model, affiliation, quadratic_form, *,
         scatter = jnp.einsum(
             '...kt,...dt,...et->...kde',
             w.astype(y_block.dtype), y_block, y_block.conj(),
-            precision=jax.lax.Precision.HIGHEST)
+            precision=em_matmul_precision())
         return scatter, jnp.sum(aff, axis=-1)
 
     def m_from_stats(scatter, aff_sum):

@@ -38,6 +38,7 @@ __all__ = [
 
 
 from .._dtypes import real_dtype as _real_dtype, tiny as _tiny
+from ._precision import em_matmul_precision
 
 
 @jax.jit
@@ -155,13 +156,13 @@ class ComplexAngularCentralGaussian(Model):
         # scaled magnitude reduction (VPU).
         z = jnp.einsum(
             '...de,...dt->...et', self.covariance_eigenvectors.conj(), y,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=em_matmul_precision())
         quadratic_form = jnp.maximum(
             jnp.einsum(
                 '...et,...e->...t',
                 z.real ** 2 + z.imag ** 2,
                 1. / self.covariance_eigenvalues,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=em_matmul_precision(),
             ),
             _tiny(y),
         )
@@ -250,7 +251,7 @@ class ComplexAngularCentralGaussianTrainer:
         yw = y * weights[..., None, :].astype(_real_dtype(y))
         covariance = D * jnp.einsum(
             '...dn,...en->...de', yw, y.conj(),
-            precision=jax.lax.Precision.HIGHEST)
+            precision=em_matmul_precision())
         covariance = covariance / jnp.maximum(
             denominator, _tiny(covariance)).astype(_real_dtype(covariance))
         assert covariance.shape == (*independent, D, D), (
