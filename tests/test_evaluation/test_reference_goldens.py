@@ -154,3 +154,34 @@ def test_output_metrics_vs_reference_goldens(scenario):
     np.testing.assert_array_equal(m['mir_eval_selection'], [0, 1])
     assert_allclose(m['stoi'], [0.968833, 0.976151], rtol=1e-2)
     assert_allclose(m['srmr'], [0.54593548, 0.49966431], rtol=4e-2)
+
+
+def test_pesq_vs_reference_goldens(scenario):
+    """PESQ golden check — only runs where the optional ``pesq`` C
+    library is installed (the dedicated CI lane installs it; the
+    default environment skips, matching the reference's optional-dep
+    posture).  Constants from reference test_wrapper_values.py:82-85
+    and :141-142.
+    """
+    pytest.importorskip('pesq')
+    from pb_bss_tpu.evaluation import pesq as pesq_metric
+
+    # InputMetrics pairing: every speaker vs every channel.
+    observation = scenario['observation']
+    speech_source = scenario['speech_source']
+    K, N = speech_source.shape
+    D = observation.shape[0]
+    ref = np.broadcast_to(speech_source[:, None, :], (K, D, N))
+    est = np.broadcast_to(observation[None, :, :], (K, D, N))
+    assert_allclose(
+        pesq_metric(ref, est, sample_rate=8000),
+        [[3.494761, 3.034838, 3.755455],
+         [2.437896, 2.820094, 2.434496]], rtol=1e-4)
+
+    # OutputMetrics pairing: per-speaker prediction at channel 0.
+    speech_prediction = (
+        scenario['speech_image'][..., 0, :]
+        + scenario['noise_image'][..., 0, :])
+    assert_allclose(
+        pesq_metric(speech_source, speech_prediction, sample_rate=8000),
+        [4.37408, 4.405752], rtol=1e-4)
