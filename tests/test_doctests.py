@@ -18,10 +18,12 @@ DOCTESTED_MODULES = [
     'pb_bss_tpu.ops.linalg',
     'pb_bss_tpu.math.solve',
     'pb_bss_tpu.models.base',
-    'pb_bss_tpu.models.cacgmm',
+    pytest.param('pb_bss_tpu.models.cacgmm',
+                 marks=pytest.mark.slow),  # EM-fit doctest: heavy jit
     'pb_bss_tpu.models.mixture_model_utils',
     'pb_bss_tpu.extraction.mask_module',
-    'pb_bss_tpu.extraction.beamformer_wrapper',
+    pytest.param('pb_bss_tpu.extraction.beamformer_wrapper',
+                 marks=pytest.mark.slow),  # whole-DSL doctest sweep
     'pb_bss_tpu.transform.stft_module',
     'pb_bss_tpu.initializer.iid',
     'pb_bss_tpu.permutation_alignment',

@@ -39,6 +39,7 @@ def _utterance(seed, k=2, t=8000, extra_noise_estimate=False):
 
 
 @pytest.mark.parametrize('extra', [False, True])
+@pytest.mark.slow
 def test_batch_matches_host_loop(extra):
     utts = [_utterance(s, extra_noise_estimate=extra)
             for s in (0, 1, 2)]
@@ -75,6 +76,7 @@ def test_batch_matches_host_loop(extra):
         assert_allclose(got['srmr'][b], expected['srmr'], atol=1e-10)
 
 
+@pytest.mark.slow
 def test_multi_leading_dims_and_errors():
     utts = [_utterance(s) for s in (3, 4, 5, 6)]
     preds = np.stack([u[1] for u in utts]).reshape(2, 2, 2, -1)

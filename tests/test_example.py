@@ -5,6 +5,7 @@ import sys
 import pytest
 
 
+@pytest.mark.slow
 def test_mixture_model_example_runs(capsys):
     examples = pathlib.Path(__file__).parent.parent / 'examples'
     sys.path.insert(0, str(examples))
@@ -18,6 +19,7 @@ def test_mixture_model_example_runs(capsys):
     assert 'GEV+BAN beamforming' in out
 
 
+@pytest.mark.slow
 def test_separate_pipeline_api():
     """High-level separate(): mask-based and beamformed variants."""
     import numpy as np
@@ -51,6 +53,7 @@ def test_separate_pipeline_api():
             assert max(sdrs) > 3, (k, sdrs)
 
 
+@pytest.mark.slow
 def test_separate_fca_refinement():
     """refine='fca': the full-rank Wiener refinement stage must not
     lose quality vs plain mask-based extraction (measured it *gains*
@@ -107,6 +110,7 @@ def test_separate_model_families():
         assert np.isfinite(out).all(), model
 
 
+@pytest.mark.slow
 def test_separate_batch_sharded():
     """Batched separation, data-parallel over the mesh 'b' axis; must
     match the per-utterance path exactly (same per-utterance PRNG

@@ -34,6 +34,7 @@ def cos_similarity(A, B):
     return similarity
 
 
+@pytest.mark.slow
 class TestBeamformerShapes:
     K, F, D = 2, 3, 6
     shape_psd = (F, D, D)
@@ -121,11 +122,13 @@ class TestBeamformerShapes:
                 cos_similarity(flat_ours[f], expected), 1.0, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestBeamformerShapesWithoutIndependent(TestBeamformerShapes):
     K, F, D = 2, 3, 6
     shape_psd = (1, 6, 6)
 
 
+@pytest.mark.slow
 class TestBeamformerShapesWithSpeakers(TestBeamformerShapes):
     K, F, D = 2, 3, 6
     shape_psd = (2, 3, 6, 6)

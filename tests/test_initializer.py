@@ -72,6 +72,7 @@ class TestFlag:
             flag(np.ones([4, 5, 3]), 2, permutation_free=False)
 
 
+@pytest.mark.slow
 def test_deflation_seed():
     rng = np.random.RandomState(0)
     F, T, D = 257, 50, 3

@@ -33,6 +33,7 @@ COVARIANCE = COVARIANCE / np.trace(
 WEIGHT = np.array([0.3, 0.7])
 
 
+@pytest.mark.slow
 def test_cacgmm_parameter_recovery():
     x = np.asarray(sample_cacgmm(
         10000, WEIGHT, COVARIANCE, key=jax.random.key(5)))
@@ -48,6 +49,7 @@ def test_cacgmm_parameter_recovery():
     assert_allclose(weight_est[:, 0], WEIGHT, atol=0.15)
 
 
+@pytest.mark.slow
 def test_cacgmm_independent_dims():
     x = np.asarray(sample_cacgmm(
         10000, WEIGHT, COVARIANCE, key=jax.random.key(6)))
@@ -97,6 +99,7 @@ def test_cacgmm_affiliation_init():
         covariance_norm='trace', iterations=2)
 
 
+@pytest.mark.slow
 def test_cacgmm_model_init_resume():
     x = np.asarray(sample_cacgmm(
         4000, WEIGHT, COVARIANCE, key=jax.random.key(8)))
@@ -108,6 +111,7 @@ def test_cacgmm_model_init_resume():
     assert ll2 > ll1, (ll1, ll2)
 
 
+@pytest.mark.slow
 def test_cacgmm_weight_constant_axis():
     x = np.asarray(sample_cacgmm(
         500, WEIGHT, COVARIANCE, key=jax.random.key(9)))
@@ -155,6 +159,7 @@ def test_cacgmm_serialization_roundtrip():
     assert_allclose(a1, a2)
 
 
+@pytest.mark.slow
 def test_cacgmm_log_likelihood_increases():
     x = np.asarray(sample_cacgmm(
         2000, WEIGHT, COVARIANCE, key=jax.random.key(12)))
@@ -177,6 +182,7 @@ def test_sample_cacgmm_labels_match():
         np.linalg.norm(np.asarray(x), axis=-1), 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_eigh_sweeps_quality_equivalent():
     """The eigh_sweeps speed knob (reduced Jacobi sweeps inside the
     self-correcting EM) does not change separation quality."""

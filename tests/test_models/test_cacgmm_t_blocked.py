@@ -37,6 +37,7 @@ def _init(F, K, T, seed=1):
 
 
 @pytest.mark.parametrize('t_block', [64, 128])
+@pytest.mark.slow
 def test_matches_scan_path(t_block):
     """Same init -> same model as the scan path; t_block=64 exercises
     an uneven tail block (300 = 4*64 + 44)."""
@@ -64,6 +65,7 @@ def test_matches_scan_path(t_block):
         atol=1e-6)
 
 
+@pytest.mark.slow
 def test_model_init_and_fit_predict():
     """Model-init path (first E-step inside the blocked loop) and the
     blocked fit_predict affiliations."""

@@ -42,6 +42,7 @@ class TestNativeGev:
             sim = cos_similarity(ours[f], v[:, -1])
             np.testing.assert_allclose(sim, 1.0, atol=1e-6)
 
+    @pytest.mark.slow
     def test_matches_xla_path(self):
         from pb_bss_tpu.ops.linalg import gev_max_eigvec
         phi_xx, phi_nn = self._psds(1)
@@ -108,6 +109,7 @@ class TestNativeEig:
                 np.testing.assert_allclose(lhs, rhs, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_get_gev_vector_dispatch_matches_native():
     """The public XLA `get_gev_vector` and the native kernel agree."""
     from pb_bss_tpu.extraction.beamformer import get_gev_vector

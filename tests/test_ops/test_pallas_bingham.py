@@ -22,6 +22,9 @@ from pb_bss_tpu.models.complex_bingham import (
 )
 from pb_bss_tpu.ops.pallas_bingham import bingham_chord_solve
 
+pytestmark = pytest.mark.slow  # interpret-mode chord cascade: minutes per trace
+
+
 
 def _moments_and_warm(B=300, D=6, seed=3, perturb=0.05):
     rng = np.random.default_rng(seed)

@@ -16,6 +16,7 @@ import itertools
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from numpy.testing import assert_allclose
 
 from pb_bss_tpu.models.cbmm import CBMMTrainer
@@ -51,6 +52,7 @@ def _best_perm_accuracy(aff, lab):
         for p in itertools.permutations(range(k)))
 
 
+@pytest.mark.slow
 def test_fused_matches_scan_path():
     y, aff0, lab = _mixture()
     trainer = CBMMTrainer(eigenvalue_eps=1e-3)
@@ -103,6 +105,7 @@ def test_auto_gate_off_on_cpu():
         np.asarray(m_scan.complex_bingham.covariance_eigenvalues))
 
 
+@pytest.mark.slow
 def test_fused_saliency_matches_scan():
     """Saliency-weighted scatter statistics and the L1-normalized
     mixture weight must match the scan path in-kernel."""
@@ -126,6 +129,7 @@ def test_fused_saliency_matches_scan():
         rtol=5e-2, atol=0.5)
 
 
+@pytest.mark.slow
 def test_fused_max_concentration_matches_scan():
     """A finite max_concentration bounds the chord diffs and floors
     the fitted eigenvalues at -mc with re-spacing in-kernel

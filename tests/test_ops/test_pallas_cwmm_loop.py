@@ -41,6 +41,7 @@ def test_concentration_table_inverts_forward_map():
     assert_allclose(ratio, grid[sel], atol=2e-3)
 
 
+@pytest.mark.slow
 def test_parity_with_scan_path():
     y = _mixture()
     y = y / jnp.linalg.norm(y, axis=-1, keepdims=True)
@@ -74,6 +75,7 @@ def test_parity_with_scan_path():
     assert overlap.min() > 1 - 1e-3
 
 
+@pytest.mark.slow
 def test_trainer_fused_saliency_matches_scan():
     """Saliency-weighted Watson statistics and the L1-normalized
     mixture weight must match the scan path."""
@@ -103,6 +105,7 @@ def test_trainer_fused_saliency_matches_scan():
     assert overlap.min() > 1 - 1e-3
 
 
+@pytest.mark.slow
 def test_trainer_fused_matches_scan_and_predict():
     y = _mixture(seed=3)
     trainer = CWMMTrainer()

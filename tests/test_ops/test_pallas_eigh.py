@@ -7,6 +7,9 @@ from numpy.testing import assert_allclose
 
 from pb_bss_tpu.ops.pallas_eigh import eigh_jacobi_pallas
 
+pytestmark = pytest.mark.slow  # interpret-mode Jacobi kernel: ~40 s per shape
+
+
 
 def _hermitian(B=24, D=6, seed=0, complex_=True):
     rng = np.random.default_rng(seed)

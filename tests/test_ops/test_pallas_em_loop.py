@@ -35,6 +35,7 @@ def _mixture(F=19, D=4, T=48, K=3, seed=0):
 
 
 @pytest.mark.parametrize('T', [48, 37])  # 37: time padding + masking
+@pytest.mark.slow
 def test_parity_with_scan_path(T):
     args = _mixture(T=T)
     out_p = cacgmm_em_full(*args, iterations=5, sweeps=6, interpret=True)
@@ -54,6 +55,7 @@ def test_parity_with_scan_path(T):
 
 
 @pytest.mark.parametrize('T', [48, 37])
+@pytest.mark.slow
 def test_parity_with_scan_path_saliency(T):
     """Saliency-weighted M-step statistics and the L1-normalized
     mixture weight must match the scan path."""
@@ -78,6 +80,7 @@ def test_parity_with_scan_path_saliency(T):
         np.asarray(out_r[3], np.float64), atol=5e-3)  # affiliations
 
 
+@pytest.mark.slow
 def test_parity_with_scan_path_source_activity_mask():
     """The E-step's boolean class gating must match the scan path,
     including the gated classes' zero posteriors."""
@@ -106,6 +109,7 @@ def test_parity_with_scan_path_source_activity_mask():
     assert np.all(aff_p[~sam_bool] == 0)
 
 
+@pytest.mark.slow
 def test_trainer_fused_saliency_and_mask_match_scan():
     """The trainer's fused path with saliency + mask matches the scan
     path end to end (same init, same knobs)."""
@@ -133,6 +137,7 @@ def test_trainer_fused_saliency_and_mask_match_scan():
         np.asarray(m_scan.cacg.covariance_eigenvalues), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_trainer_fused_matches_scan():
     rng = np.random.default_rng(1)
     F, T, D, K = 13, 40, 3, 2
@@ -154,6 +159,7 @@ def test_trainer_fused_matches_scan():
     assert_allclose(np.asarray(aff.sum(-2)), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_fused_resume_from_model():
     rng = np.random.default_rng(2)
     F, T, D, K = 9, 32, 3, 2
@@ -171,6 +177,7 @@ def test_trainer_fused_resume_from_model():
         np.asarray(m_scan.cacg.covariance_eigenvalues), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fit_predict_matches_fit_then_predict():
     """The kernel's final (unclipped) E-step must equal
     model.predict() on the returned model exactly."""
@@ -206,6 +213,7 @@ def test_auto_gate_is_off_on_cpu():
         np.asarray(m_scan.cacg.covariance_eigenvalues))
 
 
+@pytest.mark.slow
 def test_batch_folding_is_bit_exact():
     """(B, F, ...) inputs fold the batch into the bin axis — bins are
     independent, so per-example results are bit-identical to the 3D
@@ -229,6 +237,7 @@ def test_batch_folding_is_bit_exact():
     assert_allclose(np.asarray(out4[3][1]), np.asarray(out3[3]), rtol=0)
 
 
+@pytest.mark.slow
 def test_vmap_batching():
     args = _mixture(F=9, D=3, T=24)
     batched = [jnp.stack([a, a * 0.9 + 0.05]) for a in args]

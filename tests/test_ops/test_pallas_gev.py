@@ -9,6 +9,9 @@ from numpy.testing import assert_allclose
 from pb_bss_tpu.ops.linalg import gev_max_eigvec
 from pb_bss_tpu.ops.pallas_gev import gev_pallas
 
+pytestmark = pytest.mark.slow  # interpret-mode fused GEV: ~1 min per config
+
+
 
 def _pencils(B=24, D=6, seed=0):
     rng = np.random.default_rng(seed)

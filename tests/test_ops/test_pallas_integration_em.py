@@ -60,6 +60,7 @@ def _random_model(F, D, E, K, seed=1):
 
 
 @pytest.mark.parametrize('T', [40, 37])  # 37: time padding + masking
+@pytest.mark.slow
 def test_e_stats_parity_with_xla(T):
     """One kernel pass == XLA E-step + the three M-statistic
     reductions, on identical params."""
@@ -104,6 +105,7 @@ def test_e_stats_parity_with_xla(T):
 
 
 @pytest.mark.parametrize('weights', [(1., 1.), (0.5, 2.)])
+@pytest.mark.slow
 def test_trainer_fused_matches_scan(weights):
     spatial_weight, spectral_weight = weights
     obs, emb = _problem()
@@ -136,6 +138,7 @@ def test_trainer_fused_matches_scan(weights):
 
 
 @pytest.mark.parametrize('covariance_type', ['spherical', 'diagonal'])
+@pytest.mark.slow
 def test_gcacgmm_trainer_fused_matches_scan(covariance_type):
     from pb_bss_tpu.models.gcacgmm import GCACGMMTrainer
     obs, emb = _problem()
@@ -164,6 +167,7 @@ def test_gcacgmm_trainer_fused_matches_scan(covariance_type):
                     np.asarray(aff_s, np.float64), atol=2e-2)
 
 
+@pytest.mark.slow
 def test_gcacgmm_fused_fixed_covariance():
     from pb_bss_tpu.models.gcacgmm import GCACGMMTrainer
     obs, emb = _problem(F=9, T=32)
@@ -182,6 +186,7 @@ def test_gcacgmm_fused_fixed_covariance():
 
 
 @pytest.mark.parametrize('model', ['vmf', 'gcacg'])
+@pytest.mark.slow
 def test_batched_fit_folds_into_bins(model):
     """(B, F, T, D) fits: the fused 4D path must equal per-utterance
     3D fused fits exactly (same folding semantics), and the scan path
@@ -227,6 +232,7 @@ def test_batched_fit_folds_into_bins(model):
 
 
 @pytest.mark.parametrize('model', ['vmf', 'gcacg'])
+@pytest.mark.slow
 def test_trainer_fused_saliency_matches_scan(model):
     """Saliency weights every in-kernel M-statistic (a*s) and the
     L1-normalized weight, matching the scan path's

@@ -64,6 +64,7 @@ def _assert_model_close(m_loop, m_step, atol):
 
 
 @pytest.mark.parametrize('weights', [(1., 1.), (0.5, 2.)])
+@pytest.mark.slow
 def test_vmf_whole_fit_matches_per_iteration(weights):
     spatial_weight, spectral_weight = weights
     obs, emb = _problem()
@@ -87,6 +88,7 @@ def test_vmf_whole_fit_matches_per_iteration(weights):
 
 
 @pytest.mark.parametrize('covariance_type', ['spherical', 'diagonal'])
+@pytest.mark.slow
 def test_gaussian_whole_fit_matches_per_iteration(covariance_type):
     obs, emb = _problem(seed=3)
     kw = dict(num_classes=2, iterations=3,
@@ -104,6 +106,7 @@ def test_gaussian_whole_fit_matches_per_iteration(covariance_type):
         rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vmf_whole_fit_batched_fold():
     """(B, F, T, D) fits: each utterance carries its own global
     spectral state through the in-kernel one-hot-mask matmuls."""

@@ -24,6 +24,7 @@ def _data(shape, seed=0):
 
 
 @needs_8_devices
+@pytest.mark.slow
 def test_frequency_sharded_fit_matches_replicated():
     F, T, D, K = 16, 40, 3, 2
     y = _data((F, T, D))
@@ -81,6 +82,7 @@ def test_2d_mesh_batch_frequency():
 
 
 @needs_8_devices
+@pytest.mark.slow
 def test_sharded_beamformer_pipeline():
     """PSD + GEV + MVDR-Souden(fixed ref) under frequency sharding."""
     from pb_bss_tpu.extraction.beamformer import (
@@ -114,6 +116,7 @@ def test_sharded_beamformer_pipeline():
 
 
 @needs_8_devices
+@pytest.mark.slow
 def test_fused_em_kernel_under_frequency_sharding():
     """The single-kernel Pallas EM path (use_fused_em) must run and
     preserve sharding when the observations carry a NamedSharding
@@ -173,6 +176,7 @@ def test_integration_model_sharded_matches_replicated():
 
 
 @needs_8_devices
+@pytest.mark.slow
 def test_integration_model_fused_under_sharding():
     """The fused per-iteration kernel path must also run under 'f'
     sharding (interpret mode on CPU) and match its local result."""
@@ -202,6 +206,7 @@ def test_integration_model_fused_under_sharding():
 
 
 @needs_8_devices
+@pytest.mark.slow
 def test_full_pipeline_2d_sharded_matches_replicated():
     """The whole separate() pipeline (stft -> EM -> DHTV -> GEV+BAN ->
     istft) under full 2D ('b', 'f') partitioning must produce the same

@@ -86,6 +86,7 @@ class TestMixtureModelUtils:
 
 
 class TestStableSolve:
+    @pytest.mark.slow
     def test_regular_and_singular(self, ref):
         from pb_bss_tpu.ops.linalg import stable_solve as ours
         theirs = ref['pb_bss.math.solve'].stable_solve

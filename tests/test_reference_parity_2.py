@@ -129,6 +129,7 @@ class TestVonMisesFisher:
 
 
 class TestComplexBingham:
+    @pytest.mark.slow
     def test_find_eigenvalues_random_moments(self, ref):
         from pb_bss_tpu.models.complex_bingham import find_eigenvalues
         theirs = ref['pb_bss.distribution.complex_bingham'] \

@@ -13,6 +13,7 @@ from pb_bss_tpu.transform.gammatone import (
 )
 
 
+@pytest.mark.slow
 class TestBiquad:
     def test_matches_scipy_lfilter(self):
         rng = np.random.default_rng(0)
