@@ -421,6 +421,44 @@ def bench_extras():
             f'eval sweep 2x2s: device si_sdr {dt * 1e3:.1f} ms, host '
             f'stoi {dt_stoi * 1e3:.0f} ms, host bss_eval '
             f'{dt_bss * 1e3:.0f} ms')
+
+        # config 5b: device-resident BATCHED eval (batch 8) vs the
+        # host path run 8 times — the round-3 device BSS-eval/STOI
+        # (evaluation/module_bss_eval_device.py, module_stoi_device.py)
+        from pb_bss_tpu.evaluation import (
+            bss_eval_sources_batch, stoi_batch,
+        )
+        Beval = 8
+        batch_inputs = [
+            (np.stack([refs] * Beval)
+             + 0.001 * rng.standard_normal(
+                 (Beval, Kq, N)).astype(np.float32),
+             np.stack([refs] * Beval)
+             + 0.1 * rng.standard_normal(
+                 (Beval, Kq, N)).astype(np.float32))
+            for _ in range(3)
+        ]
+        # warm the compiles
+        _ = bss_eval_sources_batch(*batch_inputs[0])
+        _ = stoi_batch(*batch_inputs[0], sample_rate=8000)
+        start = time.perf_counter()
+        acc = 0.0
+        for r, e in batch_inputs:
+            out = bss_eval_sources_batch(r, e)
+            acc += float(np.sum(out['sdr']))
+            acc += float(np.sum(np.asarray(
+                stoi_batch(r, e, sample_rate=8000))))
+        dt_dev = (time.perf_counter() - start) / len(batch_inputs)
+        start = time.perf_counter()
+        for b in range(Beval):
+            _ = bss_eval_sources(batch_inputs[0][0][b],
+                                 batch_inputs[0][1][b])
+            _ = stoi(batch_inputs[0][0][b], batch_inputs[0][1][b], 8000)
+        dt_host = time.perf_counter() - start
+        lines.append(
+            f'batched eval (B=8, bss_eval+stoi): device '
+            f'{dt_dev * 1e3:.0f} ms vs host {dt_host * 1e3:.0f} ms '
+            f'({dt_host / dt_dev:.1f}x)')
     except Exception as e:  # pragma: no cover
         lines.append(f'eval config failed: {type(e).__name__}: {e}')
 
@@ -489,7 +527,10 @@ def main():
         f'docs/DESIGN.md), achieved {achieved / 1e12:.2f} TFLOP/s '
         f'device-amortized, mfu_pct {100 * achieved / peak:.1f} '
         f'(vs f32 peak {peak / 1e12:.0f} TFLOP/s; workload is '
-        f'small-matrix/elementwise-heavy, not matmul-bound)',
+        f'small-matrix/elementwise-heavy, not matmul-bound — measured: '
+        f'bf16 matmuls buy <=14% on the scan fallback only, the fused '
+        f'production kernel is VPU-bound, see docs/DESIGN.md "Mixed '
+        f'precision: measured")',
         file=sys.stderr,
     )
 

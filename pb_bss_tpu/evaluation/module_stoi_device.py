@@ -223,11 +223,15 @@ def stoi_batch(reference, estimation, sample_rate):
         numpy array of shape (...,); NaN where the host oracle would
         raise (no non-silent segment).
     """
-    estimation, reference = np.broadcast_arrays(estimation, reference)
-    lead = reference.shape[:-1]
-    n = reference.shape[-1]
-    refs = jnp.asarray(reference).reshape((-1, n))
-    ests = jnp.asarray(estimation).reshape((-1, n))
+    # Broadcast on device: np.broadcast_arrays would pull an already
+    # device-resident input back to the host (a full round-trip per
+    # call over the tunneled transport).
+    reference = jnp.asarray(reference)
+    estimation = jnp.asarray(estimation)
+    shape = jnp.broadcast_shapes(reference.shape, estimation.shape)
+    lead, n = shape[:-1], shape[-1]
+    refs = jnp.broadcast_to(reference, shape).reshape((-1, n))
+    ests = jnp.broadcast_to(estimation, shape).reshape((-1, n))
     program = _batch_program(int(sample_rate), n)
     return np.asarray(program(refs, ests)).reshape(lead)
 
