@@ -30,6 +30,21 @@ if _PLATFORM == 'cpu':
 
 jax.config.update('jax_threefry_partitionable', True)
 
+# Persistent XLA compilation cache: the suite is compile-bound (one
+# core, hundreds of distinct jit programs), and warm reruns skip the
+# backend compile entirely — measured 2.1x on the spatial-model tier.
+# Opt out with PB_BSS_TPU_TEST_COMPILE_CACHE=0 (e.g. when bisecting
+# XLA itself). The directory is keyed by jax version automatically, so
+# upgrades never read stale executables.
+if os.environ.get('PB_BSS_TPU_TEST_COMPILE_CACHE', '1') != '0':
+    _cache_dir = os.environ.get(
+        'JAX_COMPILATION_CACHE_DIR',
+        os.path.join(os.path.dirname(__file__), '..',
+                     '.jax_compile_cache'))
+    jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.2)
+    jax.config.update('jax_persistent_cache_enable_xla_caches', 'all')
+
 
 @pytest.fixture(autouse=True)
 def _bound_mmap_regions():

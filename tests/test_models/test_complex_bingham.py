@@ -185,6 +185,7 @@ class TestCBMM:
         assert affiliation.shape == (F, 2, T)
         assert_allclose(affiliation.sum(-2), 1.0, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_warm_start_em_quality(self):
         """The warm-started inverse-moment Newton (10 steps from the
         previous EM iteration's eigenvalues) must reach the same EM

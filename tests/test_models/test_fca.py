@@ -62,6 +62,7 @@ def _best_perm_mse(estimate, images):
     return float(np.mean(per_f))
 
 
+@pytest.mark.slow
 def test_log_likelihood_monotone():
     y, _, _ = _scenario(seed=1)
     lls = [

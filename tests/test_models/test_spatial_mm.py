@@ -133,6 +133,7 @@ def test_cbmm_smoke():
     assert np.all(np.isfinite(scores['mir_eval_sxr_sdr'])), scores
 
 
+@pytest.mark.slow
 def test_beamforming_pipeline():
     """EM masks -> PSD -> GEV+BAN / MVDR-Souden beamforming must beat
     the raw observation (extraction-path integration test,
