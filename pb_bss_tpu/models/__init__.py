@@ -26,6 +26,10 @@ from .cacgmm import (  # noqa: F401
     CACGMMTrainer,
     sample_cacgmm,
 )
+from .cacgmm_streaming import (  # noqa: F401
+    StreamingCACGMM,
+    StreamingCACGMMState,
+)
 from .gaussian import (  # noqa: F401
     Gaussian,
     DiagonalGaussian,
