@@ -17,6 +17,8 @@ from . import utils  # noqa: F401
 from . import parallel  # noqa: F401
 from . import pipeline  # noqa: F401
 from .pipeline import separate  # noqa: F401
+from . import streaming  # noqa: F401
+from .streaming import StreamingSeparator  # noqa: F401
 from . import math  # noqa: F401
 from . import ops  # noqa: F401
 from . import initializer  # noqa: F401
