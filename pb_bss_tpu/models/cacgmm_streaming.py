@@ -159,7 +159,13 @@ class StreamingCACGMM:
             ``1 / (1 - forgetting)`` frames (e.g. 0.999 ~ 1000 frames
             ~ 16 s at 16 kHz / 256 hop).
         inner_iterations: EM refinements per block (statistics are
-            re-blended, never double-counted).
+            re-blended, never double-counted). Default 1: on real
+            TPU hardware every extra refinement re-runs the
+            eigendecomposition whose f32 rounding noise enters the
+            exponentially-sensitive posterior, and the drift
+            accumulates over a stream (measured on the 2-speaker
+            scene: [1.6, 8.9] dB SDR at 1 inner iteration vs
+            [-0.2, 6.4] at 2; CPU f64/f32 shows no difference).
         init_iterations: offline EM iterations on the FIRST block
             (warm start of the stream).
         affiliation_eps / eigenvalue_floor / eigh_sweeps: the numeric
@@ -167,7 +173,7 @@ class StreamingCACGMM:
     """
 
     def __init__(self, num_classes, *, forgetting=1.0,
-                 inner_iterations=2, init_iterations=10,
+                 inner_iterations=1, init_iterations=10,
                  affiliation_eps=1e-10, eigenvalue_floor=1e-10,
                  eigh_sweeps=None):
         assert 0.0 < forgetting <= 1.0, forgetting

@@ -123,6 +123,7 @@ class _ScoreMatrix:
             'K...T,k...T->...kK',
             jnp.asarray(mask).conj(),
             jnp.asarray(reference_mask),
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     @classmethod
@@ -365,8 +366,12 @@ class DHTVPermutationAlignment(_PermutationAlignment):
             if self.similarity_metric in ('cos',):
                 centroid = _parameterized_vector_norm(centroid, axis=-1)
             # score[w, a, b] = <feats[b, w], centroid[a]>
+            # (HIGHEST: TPU bf16 passes measurably flip alignment
+            # decisions in ambiguous bins, and a streaming warm-up
+            # alignment error is written into the state permanently)
             score = jnp.einsum(
-                'bwt,at->wab', feats.conj(), centroid)
+                'bwt,at->wab', feats.conj(), centroid,
+                precision=jax.lax.Precision.HIGHEST)
             if self.algorithm == 'greedy':
                 rev = _greedy_mapping(score.real)  # (W, K)
             else:

@@ -43,7 +43,8 @@ if os.environ.get('PB_BSS_TPU_TEST_COMPILE_CACHE', '1') != '0':
                      '.jax_compile_cache'))
     jax.config.update('jax_compilation_cache_dir', _cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.2)
-    jax.config.update('jax_persistent_cache_enable_xla_caches', 'all')
+    jax.config.update(
+        'jax_persistent_cache_enable_xla_caches', 'none')
 
 
 @pytest.fixture(autouse=True)

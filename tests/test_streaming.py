@@ -15,6 +15,18 @@ def _run_stream(sep, x, chunk=1000):
     return np.concatenate(outs, axis=-1)
 
 
+def _sdr(references, estimates):
+    """Per-source best-permutation BSS-Eval SDR (native)."""
+    from pb_bss_tpu.evaluation.module_bss_eval import bss_eval_sources
+    K = references.shape[0]
+    if estimates.shape[0] > K:
+        from pb_bss_tpu.evaluation import OutputMetrics
+        om = OutputMetrics(speech_prediction=estimates,
+                           speech_source=references, sample_rate=8000)
+        return np.asarray(om.mir_eval_sdr)
+    return bss_eval_sources(references, estimates)[0]
+
+
 def test_masks_sum_to_reference_channel():
     """The K posteriors sum to one per T-F bin, so the summed outputs
     reconstruct the (delayed) reference channel exactly — the whole
@@ -52,30 +64,51 @@ def test_chunk_size_independence():
 
 @pytest.mark.slow
 def test_separates_two_speakers():
-    """On the synthetic reverberant 2-speaker scene each source is
-    better explained by its best-matching stream output than by the
-    mixture (mask-based streaming separation actually separates)."""
+    """Mask-based streaming on the synthetic reverberant 2-speaker
+    scene: BSS-Eval SDR of every source improves over the mixture
+    (measured baseline: mixture [-7.3, 7.7] dB, mask stream
+    [1.9, 11.1] dB)."""
     example = low_reverberation_data(seed=0)
-    obs = example['observation'].astype(np.float32)
+    obs = example['observation'].astype(np.float64)
     sources = example['speech_source']
     sep = StreamingSeparator(num_classes=3, block_frames=32,
                              forgetting=1.0, inner_iterations=2,
-                             init_iterations=15)
-    out = _run_stream(sep, obs, chunk=4096)
+                             init_iterations=20)
+    out = _run_stream(sep, obs.astype(np.float32), chunk=4096)
     delay = sep.size - sep.shift
-    out = out[:, delay:delay + obs.shape[-1]]
+    out = np.float64(out[:, delay:delay + obs.shape[-1]])
 
-    def ncorr(a, b):
-        a = a - a.mean()
-        b = b - b.mean()
-        return abs(np.dot(a, b)) / np.maximum(
-            np.linalg.norm(a) * np.linalg.norm(b), 1e-30)
+    sdr_mix = _sdr(sources, np.broadcast_to(obs[0], sources.shape))
+    sdr_out = _sdr(sources, out)
+    assert np.all(sdr_out > sdr_mix + 1.0), (sdr_out, sdr_mix)
 
-    improved = 0
-    for k in range(sources.shape[0]):
-        c_mix = ncorr(obs[0], sources[k])
-        c_best = max(ncorr(out[j], sources[k])
-                     for j in range(out.shape[0]))
-        if c_best > c_mix + 0.02:
-            improved += 1
-    assert improved == sources.shape[0], (improved, sources.shape[0])
+
+@pytest.mark.slow
+def test_beamformed_streaming():
+    """GEV-beamformed streaming on decayed class PSDs: finite output,
+    mean SDR above the mixture, and no block-boundary energy bursts
+    (phase-continuous weights, warm PSD catch-up)."""
+    example = low_reverberation_data(seed=0)
+    obs = example['observation'].astype(np.float64)
+    sources = example['speech_source']
+    sep = StreamingSeparator(num_classes=3, block_frames=32,
+                             forgetting=1.0, inner_iterations=2,
+                             init_iterations=20, beamformer='gev+ban')
+    out = _run_stream(sep, obs.astype(np.float32), chunk=4096)
+    assert np.isfinite(out).all()
+    delay = sep.size - sep.shift
+    out = np.float64(out[:, delay:delay + obs.shape[-1]])
+
+    sdr_mix = _sdr(sources, np.broadcast_to(obs[0], sources.shape))
+    sdr_out = _sdr(sources, out)
+    assert np.mean(sdr_out) > np.mean(sdr_mix) + 1.0, (
+        sdr_out, sdr_mix)
+
+    # Block-boundary continuity: the jump across block boundaries is
+    # no larger than the typical within-signal sample step.
+    block = sep.block_frames * sep.shift
+    bounds = np.arange(block, out.shape[-1] - 1, block)
+    jumps = np.abs(out[:, bounds] - out[:, bounds - 1])
+    typical = np.mean(np.abs(np.diff(out, axis=-1))) + 1e-9
+    assert np.mean(jumps) < 20 * typical, (
+        np.mean(jumps), typical)
