@@ -224,16 +224,35 @@ class OutputMetricsBatch:
 
     @cached_property
     def pesq(self):
-        return pb_bss_tpu.evaluation.pesq(
-            reference=self.speech_source,
-            estimation=self.speech_prediction_selection,
-            sample_rate=self.sample_rate,
-        )
+        # The host metric refuses leading axes >= 30 (a transposed-
+        # input heuristic aimed at single-utterance callers). Shapes
+        # are already validated here, so run the host loop per signal
+        # over the flattened batch instead.
+        ref = np.broadcast_to(
+            self.speech_source, self.speech_prediction_selection.shape)
+        flat_ref = ref.reshape((-1, self.samples))
+        flat_est = self.speech_prediction_selection.reshape(
+            (-1, self.samples))
+        values = [
+            pb_bss_tpu.evaluation.pesq(r, e, self.sample_rate)
+            for r, e in zip(flat_ref, flat_est)
+        ]
+        return np.array(values).reshape(
+            self.batch_shape + (self.K_source,))
 
     @cached_property
     def srmr(self):
-        return pb_bss_tpu.evaluation.srmr(
-            self.speech_prediction_selection, self.sample_rate)
+        # Same per-signal host loop as `pesq` above: the batch facade
+        # validates its shapes itself, so the host metric's < 30
+        # leading-axis heuristic must not see the batch axes.
+        flat = self.speech_prediction_selection.reshape(
+            (-1, self.samples))
+        values = [
+            pb_bss_tpu.evaluation.srmr(row, self.sample_rate)
+            for row in flat
+        ]
+        return np.array(values).reshape(
+            self.batch_shape + (self.K_source,))
 
     # ------------------------------------------------------------------
 

@@ -320,6 +320,13 @@ def bss_eval_sources_batch(reference, estimation,
     M = ests.shape[-2]
     assert ests.shape[-1] == T, (refs.shape, ests.shape)
     assert M in (K, K + 1), (refs.shape, ests.shape)
+    # Mirror the single-utterance guard: the permutation search builds
+    # a static table of M-permute-K rows and a one-hot (P, K, M)
+    # scoring tensor per batch element; K == 8 with M == 9 would be
+    # ~363k rows (~100 MB each) — fail fast instead of OOMing at
+    # compile.
+    if compute_permutation:
+        assert K < 8, (refs.shape, 'K! permutation search')
     if M == K + 1 and not compute_permutation:
         raise NotImplementedError(compute_permutation, 'with K + 1')
     lead = refs.shape[:-2]

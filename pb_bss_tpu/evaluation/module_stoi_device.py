@@ -54,7 +54,7 @@ __all__ = ['stoi_device', 'stoi_batch']
 _HOP = N_FRAME // 2
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _resampler_design(up, down, n_in):
     """Host-side replication of scipy.signal.resample_poly's filter
     design and alignment bookkeeping (constant per signature)."""
@@ -181,9 +181,16 @@ def _stoi_core_10k(reference, estimation, obm, window):
     return d_sum / jnp.where(count == 0, jnp.nan, count)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)
 def _batch_program(sample_rate, n_in):
-    """One jitted (B, N) -> (B,) STOI program per input signature."""
+    """One jitted (B, N) -> (B,) STOI program per input signature.
+
+    The cache is bounded: on ragged datasets every distinct signal
+    length would otherwise pin one compiled executable for the process
+    lifetime. Eviction drops the oldest programs (they recompile on
+    reuse) — but callers with many distinct lengths should pad to a
+    few bucket lengths anyway (see :func:`stoi_batch`), both for this
+    cache and for compile time itself."""
     obm_np, _ = _thirdoct(FS, NFFT, NUMBAND, MINFREQ)
     window_np = np.hanning(N_FRAME + 2)[1:-1]
     if sample_rate != FS:
@@ -222,6 +229,12 @@ def stoi_batch(reference, estimation, sample_rate):
     Returns:
         numpy array of shape (...,); NaN where the host oracle would
         raise (no non-silent segment).
+
+    Every distinct ``num_samples`` compiles (and caches) its own
+    device program; on datasets with ragged lengths, pad signals to a
+    few shared bucket lengths before calling (STOI's silent-frame
+    removal makes trailing zero-padding benign) — the program cache is
+    bounded at 16 signatures.
     """
     # Broadcast on device: np.broadcast_arrays would pull an already
     # device-resident input back to the host (a full round-trip per

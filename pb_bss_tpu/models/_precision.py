@@ -11,9 +11,11 @@ bf16 residuals.
 This module exposes the pin so the trade can be *measured* instead of
 assumed (scripts/bf16_em_experiment.py): ``set_em_matmul_precision``
 swaps the precision used by subsequently *traced* programs. It is a
-trace-time global — already-jitted executables keep the precision they
-were compiled with, so flip it at process start (the experiment runs
-each arm in a fresh process).
+trace-time global; because jit executable caches are not keyed on it,
+changing the value also clears JAX's compilation caches so already-
+traced EM programs are re-traced with the new precision instead of
+silently serving stale executables (the recompiles are the price of a
+mid-process flip — it is an experiment-level knob, not a hot path).
 """
 from __future__ import annotations
 
@@ -38,11 +40,16 @@ def em_matmul_precision():
 
 def set_em_matmul_precision(precision):
     """Set the EM einsum precision ('highest' | 'high' | 'default' /
-    'bf16', or a ``jax.lax.Precision``). Affects programs traced after
-    the call; returns the previous value."""
+    'bf16', or a ``jax.lax.Precision``). Returns the previous value.
+
+    A change clears JAX's compilation caches (the executables are not
+    keyed on this global), so the new precision applies to every EM
+    program — including shapes that were already traced."""
     global _em_precision
     previous = _em_precision
     if isinstance(precision, str):
         precision = _ALIASES[precision.lower()]
     _em_precision = precision
+    if precision != previous:
+        jax.clear_caches()
     return previous

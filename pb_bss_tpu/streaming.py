@@ -321,6 +321,7 @@ class StreamingSeparator:
         self._psd_acc = None           # (F, K, D, D) decayed PSDs
         self._psd_count = None         # (F, K)
         self._w_prev = None            # (K, F, D) last block's weights
+        self._finished = False         # set by flush()
 
     @property
     def latency_samples(self):
@@ -445,6 +446,11 @@ class StreamingSeparator:
     def process(self, samples):
         """Feed (D, n) samples; returns (K, m) separated samples
         (m = however many full blocks completed, possibly 0)."""
+        if self._finished:
+            raise RuntimeError(
+                'This stream was already flushed (its overlap-add tail '
+                'has been emitted); create a new StreamingSeparator '
+                'for the next stream.')
         samples = np.asarray(samples)
         assert samples.ndim == 2, samples.shape
         if self._buffer is None:
@@ -472,8 +478,14 @@ class StreamingSeparator:
         """Zero-pad the remaining buffered samples to a whole block,
         process it, and emit everything incl. the overlap-add tail.
         A stream shorter than the warm-up is initialized with
-        whatever frames it has."""
-        if self._buffer is None:
+        whatever frames it has.
+
+        Flushing ends the stream: the overlap-add tail has been
+        emitted, so further ``process`` calls raise (the EM / PSD
+        state would silently double-add the stale tail otherwise) and
+        repeated ``flush`` calls return an empty block."""
+        if self._buffer is None or self._finished:
+            self._finished = True
             return np.zeros((self.num_classes, 0), np.float32)
         n_rest = self._buffer.shape[-1]
         block_samples = self.block_frames * self.shift
@@ -493,4 +505,5 @@ class StreamingSeparator:
             outs.append(self._initialize_and_catch_up())
         outs.append(np.asarray(self._ola_tail))
         self._buffer = self._buffer[:, :0]
+        self._finished = True
         return np.concatenate(outs, axis=-1)

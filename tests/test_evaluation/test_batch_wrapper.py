@@ -96,3 +96,30 @@ def test_multi_leading_dims_and_errors():
             speech_prediction=utts[0][1],  # single utterance
             speech_source=utts[0][0],
             sample_rate=8000)
+
+
+@pytest.mark.slow
+def test_large_batch_srmr():
+    """The host srmr/pesq < 30 leading-axis heuristic must not fire
+    for validated batch shapes (the facade exists for large batches)."""
+    rng = np.random.RandomState(7)
+    b, t = 31, 4096
+    sources = rng.randn(b, 1, t)
+    preds = sources + 0.1 * rng.randn(b, 1, t)
+    batch = OutputMetricsBatch(
+        speech_prediction=preds, speech_source=sources,
+        sample_rate=8000)
+    out = batch.srmr
+    assert out.shape == (b, 1)
+    assert np.all(np.isfinite(out))
+
+
+def test_permutation_table_guard():
+    """K == 8 with the permutation search would build a ~363k-row
+    static table; the batch entry must fail fast instead."""
+    from pb_bss_tpu.evaluation import bss_eval_sources_batch
+    rng = np.random.RandomState(0)
+    refs = rng.randn(2, 8, 256)
+    ests = rng.randn(2, 9, 256)
+    with pytest.raises(AssertionError, match='permutation'):
+        bss_eval_sources_batch(refs, ests)

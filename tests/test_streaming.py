@@ -62,6 +62,22 @@ def test_chunk_size_independence():
     np.testing.assert_allclose(outs[0], outs[2], atol=1e-5)
 
 
+def test_flush_ends_the_stream():
+    """flush() emits the overlap-add tail exactly once: a second
+    flush is empty and further process() calls raise instead of
+    silently double-adding the already-emitted tail."""
+    rng = np.random.default_rng(2)
+    D, n = 2, 128 * 16 * 3
+    x = rng.standard_normal((D, n)).astype(np.float32)
+    sep = StreamingSeparator(num_classes=2, block_frames=16,
+                             init_iterations=2)
+    sep.process(x)
+    sep.flush()
+    assert sep.flush().shape == (2, 0)
+    with pytest.raises(RuntimeError, match='flushed'):
+        sep.process(x[:, :100])
+
+
 @pytest.mark.slow
 def test_separates_two_speakers():
     """Mask-based streaming on the synthetic reverberant 2-speaker
