@@ -9,6 +9,7 @@ from .module_bss_eval_device import (  # noqa: F401
 from .module_stoi_device import stoi_batch, stoi_device  # noqa: F401
 from .module_pesq import pesq  # noqa: F401
 from .module_srmr import srmr  # noqa: F401
+from .module_srmr_device import srmr_batch, srmr_device  # noqa: F401
 from .module_stoi import stoi  # noqa: F401
 from .module_si_sdr import si_sdr  # noqa: F401
 from .sxr_module import input_sxr, output_sxr, get_snr  # noqa: F401

@@ -242,9 +242,15 @@ class OutputMetricsBatch:
 
     @cached_property
     def srmr(self):
-        # Same per-signal host loop as `pesq` above: the batch facade
-        # validates its shapes itself, so the host metric's < 30
-        # leading-axis heuristic must not see the batch axes.
+        import jax
+        if jax.default_backend() != 'cpu':
+            from .module_srmr_device import srmr_batch
+            return srmr_batch(
+                self.speech_prediction_selection, self.sample_rate)
+        # Host path (CPU backends): per-signal loop over the flattened
+        # batch — the facade validates its shapes itself, so the host
+        # metric's < 30 leading-axis heuristic must not see the batch
+        # axes.
         flat = self.speech_prediction_selection.reshape(
             (-1, self.samples))
         values = [

@@ -225,15 +225,133 @@ T_BLOCK_AUTO = 2048
 def _fused_knobs(aligner, weight_constant_axis, hermitize,
                  covariance_norm):
     """Knobs the whole-fit kernel implements (it supports saliency and
-    source-activity masks natively; inline PA couples bins and a
-    non-per-bin weight axis needs a cross-tile reduction — both stay
-    on the scan path)."""
+    source-activity masks natively; inline PA couples bins globally
+    and stays on the scan path; frequency-constant weights get their
+    own per-iteration-fused path, ``_fused_fc_knobs``)."""
     return (
         aligner is None
         and weight_constant_axis in ((-1,), -1)
         and hermitize
         and covariance_norm == 'eigenvalue'
     )
+
+
+def _fused_fc_knobs(aligner, weight_constant_axis, hermitize,
+                    covariance_norm):
+    """Knobs of the FREQUENCY-CONSTANT-weight fused path
+    (ops/pallas_em_step.py): each iteration is one kernel pass plus
+    one XLA weight reduction over the bin axis (a psum under a
+    sharded 'f' mesh axis)."""
+    return (
+        aligner is None
+        and weight_constant_axis in ((-3, -1), (-1, -3))
+        and hermitize
+        and covariance_norm == 'eigenvalue'
+    )
+
+
+def _fc_init_weight(model, y_ndim):
+    """Extract the global per-class weight from a model for the
+    fc-fused resume path: (K,) (or (B, K) for batched input) when the
+    model's weight is frequency-constant, else None (per-bin weights
+    fall back to the scan path)."""
+    w = jnp.asarray(model.weight)
+    if w.ndim < 2 or w.shape[-1] != 1:
+        return None
+    batched = y_ndim == 4
+    squeezed = w[..., 0]                       # drop the T axis
+    lead = squeezed.shape[:-1]
+    if batched:
+        if all(n == 1 for n in lead):          # (K,), (1, K), (1, 1, K)
+            return squeezed.reshape(1, -1)     # broadcast over B
+        if len(lead) == 2 and lead[-1] == 1:
+            return squeezed[:, 0, :]           # (B, 1, K) -> (B, K)
+        return None
+    if all(n == 1 for n in lead):
+        return squeezed.reshape(-1)            # (K,)
+    return None
+
+
+def _fused_em_fc_eligible(y, num_classes, saliency,
+                          source_activity_mask, aligner,
+                          weight_constant_axis, hermitize,
+                          covariance_norm, model):
+    """Route the fit to the per-iteration-fused fc-EM
+    (ops/pallas_em_step.py)? Same runtime gates as the whole-fit
+    kernel, plus a model init must carry a frequency-constant weight."""
+    from ..ops.pallas_em_step import choose_tile_f
+    return (
+        jax.default_backend() != 'cpu'
+        and y.ndim in (3, 4)
+        and y.dtype == jnp.dtype(jnp.complex64)
+        and y.shape[-2] <= 16
+        and _fused_fc_knobs(
+            aligner, weight_constant_axis, hermitize, covariance_norm)
+        and (model is None or _fc_init_weight(model, y.ndim) is not None)
+        and bool(choose_tile_f(
+            y.shape[-2], num_classes, -(-y.shape[-1] // 8) * 8,
+            has_sal=saliency is not None,
+            has_mask=source_activity_mask is not None))
+    )
+
+
+def _fit_fused_fc(y, model, affiliation, quadratic_form, *, iterations,
+                  eigenvalue_floor, affiliation_eps, eigh_sweeps,
+                  saliency=None, source_activity_mask=None,
+                  return_affiliation=False):
+    """Frequency-constant-weight fast path: one fused Pallas pass per
+    EM iteration (E-step + M-statistics + warm in-kernel Jacobi), with
+    the global weight finished by one XLA reduction over bins between
+    kernel calls (ops/pallas_em_step.py)."""
+    from ..ops.pallas_em_step import cacgmm_em_fc
+
+    D = y.shape[-2]
+    rdtype = _real_dtype(y)
+    if saliency is not None:
+        saliency = jnp.broadcast_to(
+            jnp.asarray(saliency, rdtype),
+            (*y.shape[:-2], y.shape[-1]))
+    if source_activity_mask is not None:
+        source_activity_mask = jnp.broadcast_to(
+            jnp.asarray(source_activity_mask, rdtype),
+            (*y.shape[:-2],
+             affiliation.shape[-2] if affiliation is not None
+             else model.weight.shape[-2],
+             y.shape[-1]))
+    sweeps = eigh_sweeps if eigh_sweeps is not None else (
+        6 if D <= 8 else 8)
+    common = dict(
+        iterations=int(iterations), sweeps=sweeps, warm_sweeps=2,
+        eigenvalue_floor=float(eigenvalue_floor),
+        affiliation_eps=float(affiliation_eps),
+        interpret=jax.default_backend() == 'cpu',
+        saliency=saliency, source_activity_mask=source_activity_mask,
+    )
+    if model is not None:
+        w, eigenvalues, eigenvectors = cacgmm_em_fc(
+            y.real, y.imag, None, None, first_e_step=True,
+            init_weight=_fc_init_weight(model, y.ndim),
+            init_eigenvalues=model.cacg.covariance_eigenvalues,
+            init_eigenvectors=model.cacg.covariance_eigenvectors,
+            **common)
+    else:
+        w, eigenvalues, eigenvectors = cacgmm_em_fc(
+            y.real, y.imag, affiliation, quadratic_form, **common)
+    # estimate_mixture_weight keepdims shape for axes (-3, -1):
+    # (K,) -> (1, K, 1); (B, K) -> (B, 1, K, 1).
+    weight = w[..., None, :, None]
+    fitted = CACGMM(
+        weight=weight,
+        cacg=ComplexAngularCentralGaussian(
+            covariance_eigenvectors=eigenvectors,
+            covariance_eigenvalues=eigenvalues,
+        ),
+    )
+    if return_affiliation:
+        affiliation, _ = _predict_time_last_jit(
+            fitted, y, source_activity_mask)
+        return fitted, affiliation
+    return fitted
 
 
 def _standard_knobs(saliency, source_activity_mask, aligner,
@@ -639,22 +757,49 @@ class CACGMMTrainer:
         assert num_classes < 20, f'num_classes: {num_classes}, sure?'
         assert D < 35, f'Channels: {D}, sure?'
 
+        fc_knobs = _fused_fc_knobs(
+            inline_permutation_aligner, weight_constant_axis,
+            hermitize, covariance_norm)
         if use_fused_em == 'auto':
-            use_fused_em = not use_pallas_em and _fused_em_eligible(
-                y, num_classes, saliency, source_activity_mask,
-                inline_permutation_aligner, weight_constant_axis,
-                hermitize, covariance_norm)
+            use_fused_em = not use_pallas_em and (
+                _fused_em_eligible(
+                    y, num_classes, saliency, source_activity_mask,
+                    inline_permutation_aligner, weight_constant_axis,
+                    hermitize, covariance_norm)
+                or _fused_em_fc_eligible(
+                    y, num_classes, saliency, source_activity_mask,
+                    inline_permutation_aligner, weight_constant_axis,
+                    hermitize, covariance_norm, model))
         if use_fused_em:
             assert y.ndim in (3, 4), (
                 'use_fused_em requires (F, N, D) or (B, F, N, D) '
                 'observations', y.shape)
+            if fc_knobs:
+                # frequency-constant weights: per-iteration-fused
+                # kernels + one XLA weight reduction over bins
+                assert model is None or _fc_init_weight(
+                    model, y.ndim) is not None, (
+                    'the fc-fused path needs a frequency-constant '
+                    'init weight', model.weight.shape)
+                return _fit_fused_fc(
+                    y, model, affiliation, quadratic_form,
+                    iterations=int(iterations),
+                    eigenvalue_floor=float(eigenvalue_floor),
+                    affiliation_eps=float(affiliation_eps),
+                    eigh_sweeps=(
+                        None if eigh_sweeps is None
+                        else int(eigh_sweeps)),
+                    saliency=saliency,
+                    source_activity_mask=source_activity_mask,
+                    return_affiliation=_return_affiliation,
+                )
             assert _fused_knobs(
                 inline_permutation_aligner, weight_constant_axis,
                 hermitize, covariance_norm), (
                 'use_fused_em=True requires '
                 'inline_permutation_aligner=None, '
-                'weight_constant_axis=(-1,), hermitize=True and '
-                "covariance_norm='eigenvalue'; got "
+                'weight_constant_axis=(-1,) or (-3, -1), '
+                "hermitize=True and covariance_norm='eigenvalue'; got "
                 f'{inline_permutation_aligner=}, '
                 f'{weight_constant_axis=}, {hermitize=}, '
                 f'{covariance_norm=}')

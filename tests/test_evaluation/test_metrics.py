@@ -283,6 +283,45 @@ class TestWrappers:
         assert d['invasive_sdr'].shape == (2,)
         assert np.all(d['si_sdr'] > 20)
 
+    @pytest.mark.slow
+    def test_output_device_routing_parity(self):
+        """device_metrics=True routes BSS-Eval/STOI through the device
+        implementations; values match the host oracles (on CPU-x64
+        both run in f64, so the agreement is tight)."""
+        source, image, noise, observation = self._setup()
+        # leak + noise keep every metric in a finite regime (a clean
+        # permutation gives ~300 dB SIR, where f64 round-off dominates)
+        prediction = np.stack([
+            source[1] + 0.05 * source[0],
+            source[0] + 0.05 * source[1],
+        ]) + 0.1 * np.random.RandomState(1).randn(2, source.shape[1])
+        kwargs = dict(speech_prediction=prediction,
+                      speech_source=source, sample_rate=8000)
+        host = OutputMetrics(device_metrics=False, **kwargs)
+        dev = OutputMetrics(device_metrics=True, **kwargs)
+        assert not host._use_device_metrics
+        assert dev._use_device_metrics
+        np.testing.assert_array_equal(
+            dev['mir_eval_selection'], host['mir_eval_selection'])
+        for key in ('mir_eval_sdr', 'mir_eval_sir', 'mir_eval_sar'):
+            np.testing.assert_allclose(
+                dev[key], host[key], atol=1e-7, err_msg=key)
+        np.testing.assert_allclose(dev['stoi'], host['stoi'],
+                                   atol=1e-9)
+
+    @pytest.mark.slow
+    def test_input_device_routing_parity(self):
+        source, image, noise, observation = self._setup()
+        kwargs = dict(observation=observation, speech_source=source,
+                      sample_rate=8000)
+        host = InputMetrics(device_metrics=False, **kwargs)
+        dev = InputMetrics(device_metrics=True, **kwargs)
+        for key in ('mir_eval_sdr', 'mir_eval_sir', 'mir_eval_sar'):
+            np.testing.assert_allclose(
+                dev[key], host[key], atol=1e-7, err_msg=key)
+        np.testing.assert_allclose(dev['stoi'], host['stoi'],
+                                   atol=1e-9)
+
     def test_verbose_key_error(self):
         source, image, noise, observation = self._setup()
         metrics = InputMetrics(

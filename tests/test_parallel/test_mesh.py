@@ -142,6 +142,38 @@ def test_fused_em_kernel_under_frequency_sharding():
 
 
 @needs_8_devices
+@pytest.mark.slow
+def test_fc_fused_em_under_frequency_sharding():
+    """The frequency-constant-weight fused path (ops/pallas_em_step):
+    its per-iteration weight reduction crosses shards when 'f' is a
+    mesh axis — the sharded fit must match the replicated one (and
+    both must match the scan path, covered by
+    tests/test_ops/test_pallas_em_step.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    F, T, D, K = 32, 24, 3, 2
+    y = _data((F, T, D), seed=9)
+    mesh = make_mesh((8,), ('f',))
+    y_sharded = jax.device_put(
+        y, NamedSharding(mesh, P('f', None, None)))
+
+    m_sharded = CACGMMTrainer().fit(
+        y_sharded, num_classes=K, iterations=3,
+        weight_constant_axis=(-3, -1), use_fused_em=True)
+    m_local = CACGMMTrainer().fit(
+        y, num_classes=K, iterations=3,
+        weight_constant_axis=(-3, -1), use_fused_em=True)
+
+    np.testing.assert_allclose(
+        np.asarray(m_sharded.weight), np.asarray(m_local.weight),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m_sharded.cacg.covariance_eigenvalues),
+        np.asarray(m_local.cacg.covariance_eigenvalues),
+        rtol=1e-4, atol=1e-5)
+
+
+@needs_8_devices
 def test_integration_model_sharded_matches_replicated():
     """vMF x cACG under 'f' sharding: the global spectral M-step
     (resultants reduced over ALL frequencies) becomes a cross-shard
