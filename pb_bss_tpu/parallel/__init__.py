@@ -24,12 +24,77 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    'initialize_distributed',
     'make_mesh',
     'shard_frequencies',
     'shard_batch_and_frequencies',
+    'shard_batch_from_process_local',
     'fit_cacgmm_sharded',
     'fit_integration_sharded',
 ]
+
+
+def initialize_distributed(
+        coordinator_address=None,
+        num_processes=None,
+        process_id=None,
+        *,
+        local_device_count=None,
+        platform=None,
+):
+    """Multi-host (DCN) entry point: join this process to a
+    multi-controller JAX job, after which ``jax.devices()`` is GLOBAL
+    and :func:`make_mesh` builds meshes spanning all hosts.
+
+    The intended layout follows SURVEY §2.4/§5: the utterance batch
+    axis ``'b'`` spans hosts (DCN — the EM is data-parallel over
+    utterances, so no per-iteration traffic crosses hosts except the
+    tiny frequency-constant-weight psum), and ``'f'`` spans the
+    devices within each host/slice (ICI). Place per-host utterances
+    with :func:`shard_batch_from_process_local`.
+
+    On TPU pods the three arguments are usually discovered from the
+    environment — call with no arguments. For an explicit job (or the
+    two-process CPU simulation in ``scripts/dcn_dryrun.py``):
+
+    Args:
+        coordinator_address: ``'host:port'`` of process 0.
+        num_processes / process_id: job size and this process's rank.
+        local_device_count: for CPU simulation, the number of virtual
+            devices this process contributes (sets
+            ``jax_num_cpu_devices``; must run before the backend
+            initializes).
+        platform: optionally pin ``jax_platforms`` (e.g. ``'cpu'``)
+            before initialization — environment variables may already
+            be snapshotted by the time user code runs, so the config
+            update here is the reliable route.
+    """
+    if platform is not None:
+        jax.config.update('jax_platforms', platform)
+    if local_device_count is not None:
+        jax.config.update('jax_num_cpu_devices', int(local_device_count))
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def shard_batch_from_process_local(local_batch, mesh, *,
+                                   batch_axis=0, frequency_axis=1):
+    """Assemble a GLOBAL ('b', 'f')-sharded array from this process's
+    local utterances (multi-controller: each host passes only its own
+    batch slice; the 'b' axis concatenates across processes in rank
+    order)."""
+    local_batch = np.asarray(local_batch)
+    spec = [None] * local_batch.ndim
+    spec[batch_axis] = 'b'
+    spec[frequency_axis] = 'f'
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(*spec)), local_batch)
 
 
 def make_mesh(mesh_shape=None, axis_names=None, devices=None):
