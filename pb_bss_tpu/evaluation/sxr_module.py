@@ -17,17 +17,24 @@ __all__ = ['get_snr', 'set_snr', 'input_sxr', 'output_sxr']
 ResultTuple = collections.namedtuple('SXR', ['sdr', 'sir', 'snr'])
 
 
-def get_energy(x, axis=None, keepdims=False):
-    x = np.asarray(x)
-    return np.sum(np.abs(x * x.conj()), axis=axis, keepdims=keepdims)
-
-
 def get_variance_for_zero_mean_signal(X, axis=None, keepdims=False):
     X = np.asarray(X)
     if np.iscomplexobj(X):
         return np.mean(
             X.real ** 2 + X.imag ** 2, axis=axis, keepdims=keepdims)
     return np.mean(X ** 2, axis=axis, keepdims=keepdims)
+
+
+def _package(sdr, sir, snr, *, average_sources, return_dict):
+    """Shared result shaping: optional speaker average, then either
+    the namedtuple or a (possibly prefixed) dict."""
+    if average_sources:
+        sdr, sir, snr = (np.mean(v, axis=0) for v in (sdr, sir, snr))
+    if return_dict:
+        prefix = return_dict if isinstance(return_dict, str) else ''
+        return {prefix + 'sdr': sdr, prefix + 'sir': sir,
+                prefix + 'snr': snr}
+    return ResultTuple(sdr, sir, snr)
 
 
 def get_snr(X, N, *, axis=None, keepdims=False):
@@ -85,20 +92,9 @@ def input_sxr(images, noise, average_sources=True, average_channels=True,
     if average_channels:
         S, I, N = [np.mean(power, axis=-1) for power in (S, I, N)]
 
-    SDR = _sxr(S, I + N)
-    SIR = _sxr(S, I)
-    SNR = _sxr(S, N)
-
-    if average_sources:
-        SDR = np.mean(SDR, axis=0)
-        SIR = np.mean(SIR, axis=0)
-        SNR = np.mean(SNR, axis=0)
-
-    if return_dict:
-        prefix = return_dict if isinstance(return_dict, str) else ''
-        return {prefix + 'sdr': SDR, prefix + 'sir': SIR,
-                prefix + 'snr': SNR}
-    return ResultTuple(SDR, SIR, SNR)
+    return _package(
+        _sxr(S, I + N), _sxr(S, I), _sxr(S, N),
+        average_sources=average_sources, return_dict=return_dict)
 
 
 def output_sxr(image_contribution, noise_contribution,
@@ -143,17 +139,6 @@ def output_sxr(image_contribution, noise_contribution,
     ])
     NN = N[selection]
 
-    SDR = _sxr(SS, II + NN)
-    SIR = _sxr(SS, II)
-    SNR = _sxr(SS, NN)
-
-    if average_sources:
-        SDR = np.mean(SDR)
-        SIR = np.mean(SIR)
-        SNR = np.mean(SNR)
-
-    if return_dict:
-        prefix = return_dict if isinstance(return_dict, str) else ''
-        return {prefix + 'sdr': SDR, prefix + 'sir': SIR,
-                prefix + 'snr': SNR}
-    return ResultTuple(SDR, SIR, SNR)
+    return _package(
+        _sxr(SS, II + NN), _sxr(SS, II), _sxr(SS, NN),
+        average_sources=average_sources, return_dict=return_dict)

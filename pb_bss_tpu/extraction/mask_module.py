@@ -41,14 +41,57 @@ __all__ = [
     'biased_binary_mask',
 ]
 
-_SENSOR_AXIS_MESSAGE = """
-How to handle sensor_axis is not defined.
-Possible ways to handle it:
-    signal = signal.abs().sum(sensor_axis)  # problem, because signal is real
-    signal = signal.sum(sensor_axis)
-    signal = (signal**2).abs().sum(sensor_axis).sqrt()  # problem, because signal is real
-But this destroys the signal, which is complex.
-""".strip()
+_SENSOR_AXIS_MESSAGE = (
+    'This mask has no meaningful way to pool a sensor axis: every '
+    'candidate reduction (summing magnitudes, summing the complex '
+    'values, root-sum-square) either discards the phase or changes '
+    'the quantity the mask is defined on, so a complex per-sensor '
+    'signal cannot be collapsed here. Pick one sensor (or pool '
+    'outside) before calling; sensor_axis is only supported by the '
+    'power-based masks, which pool |.|^2.'
+)
+
+
+def _pool_sensor_power(power, sensor_axis):
+    """Sum a power-like quantity over the sensor axis (keepdims, so
+    downstream axis arithmetic is unchanged); no-op without one."""
+    if sensor_axis is None:
+        return power
+    return power.sum(sensor_axis, keepdims=True)
+
+
+def _drop_pooled_axis(mask, sensor_axis, keepdims):
+    """Remove the kept singleton sensor axis unless asked to keep it."""
+    if sensor_axis is not None and not keepdims:
+        return jnp.squeeze(mask, sensor_axis)
+    return mask
+
+
+def _soften(mask, weight):
+    """Map hard {0, 1} decisions to {0.5 - w/2, 0.5 + w/2} (the
+    reference's softening of its threshold masks)."""
+    return 0.5 + weight * (mask - 0.5)
+
+
+def _flatten_rows(x, axis):
+    """Collapse ``axis`` (int or tuple) into one trailing dim:
+    returns (rows (R, N), restore) where ``restore`` undoes the
+    moveaxis+reshape on a same-shaped result."""
+    if not isinstance(axis, (tuple, list)):
+        axis = (axis,)
+    tmp_axis = tuple(-i - 1 for i in range(len(axis)))
+    moved = jnp.moveaxis(x, axis, tmp_axis)
+    shape = moved.shape
+    lead = shape[:len(shape) - len(tmp_axis)]
+    rows = jnp.reshape(moved, (
+        int(np.prod(lead, dtype=np.int64)),
+        int(np.prod(shape[len(lead):], dtype=np.int64)),
+    ))
+
+    def restore(result):
+        return jnp.moveaxis(result.reshape(shape), tmp_axis, axis)
+
+    return rows, restore
 
 
 def voiced_unvoiced_split_characteristic(
@@ -95,19 +138,13 @@ def ideal_binary_mask(
     signal = jnp.asarray(signal)
     components = signal.shape[source_axis]
     dtype = _real_dtype(signal)
-    mask = abs_square(signal)
-
-    if sensor_axis is not None:
-        mask = mask.sum(sensor_axis, keepdims=True)
+    mask = _pool_sensor_power(abs_square(signal), sensor_axis)
 
     range_dimensions = signal.ndim * [1]
     range_dimensions[source_axis] = components
     mask = jnp.expand_dims(jnp.argmax(mask, axis=source_axis), source_axis)
     mask = mask == jnp.reshape(jnp.arange(components), range_dimensions)
-
-    if sensor_axis is not None and not keepdims:
-        mask = jnp.squeeze(mask, sensor_axis)
-    return mask.astype(dtype)
+    return _drop_pooled_axis(mask, sensor_axis, keepdims).astype(dtype)
 
 
 def wiener_like_mask(
@@ -127,13 +164,9 @@ def wiener_like_mask(
            [0., 1.]])
     """
     signal = jnp.asarray(signal)
-    mask = abs_square(signal)
-    if sensor_axis is not None:
-        mask = mask.sum(sensor_axis, keepdims=True)
+    mask = _pool_sensor_power(abs_square(signal), sensor_axis)
     mask = mask / (mask.sum(source_axis, keepdims=True) + eps)
-    if sensor_axis is not None and not keepdims:
-        mask = jnp.squeeze(mask, sensor_axis)
-    return mask
+    return _drop_pooled_axis(mask, sensor_axis, keepdims)
 
 
 def ideal_ratio_mask(
@@ -214,21 +247,8 @@ def lorenz_mask(
     (:399-407) is one batched descending sort + cumsum + masked min.
     """
     signal = jnp.asarray(signal)
-    power = abs_square(signal)
-    if sensor_axis is not None:
-        power = power.sum(axis=sensor_axis, keepdims=True)
-
-    if not isinstance(axis, (tuple, list)):
-        axis = (axis,)
-    tmp_axis = tuple(-i - 1 for i in range(len(axis)))
-
-    power = jnp.moveaxis(power, axis, tmp_axis)
-    shape = power.shape
-    working_shape = (
-        int(np.prod(shape[:len(shape) - len(tmp_axis)], dtype=np.int64)),
-        int(np.prod(shape[len(shape) - len(tmp_axis):], dtype=np.int64)),
-    )
-    power = jnp.reshape(power, working_shape)
+    power = _pool_sensor_power(abs_square(signal), sensor_axis)
+    power, restore = _flatten_rows(power, axis)
 
     sorted_power = jnp.sort(power, axis=-1)[:, ::-1]
     lorenz_function = jnp.cumsum(sorted_power, axis=-1) / jnp.maximum(
@@ -238,14 +258,9 @@ def lorenz_mask(
     below = lorenz_function < lorenz_fraction
     threshold = jnp.min(
         jnp.where(below, sorted_power, jnp.inf), axis=-1, keepdims=True)
-    mask = (power > threshold).astype(power.dtype)
-
-    mask = 0.5 + weight * (mask - 0.5)
-    mask = jnp.moveaxis(mask.reshape(shape), tmp_axis, axis)
-
-    if sensor_axis is not None and not keepdims:
-        mask = jnp.squeeze(mask, sensor_axis)
-    return mask
+    mask = restore(_soften(
+        (power > threshold).astype(power.dtype), weight))
+    return _drop_pooled_axis(mask, sensor_axis, keepdims)
 
 
 def quantile_mask(
@@ -284,16 +299,7 @@ def quantile_mask(
             for q in quantile
         ])
 
-    if not isinstance(axis, (tuple, list)):
-        axis = (axis,)
-    tmp_axis = tuple(-i - 1 for i in range(len(axis)))
-    signal = jnp.moveaxis(signal, axis, tmp_axis)
-    shape = signal.shape
-    working_shape = (
-        int(np.prod(shape[:len(shape) - len(tmp_axis)], dtype=np.int64)),
-        int(np.prod(shape[len(shape) - len(tmp_axis):], dtype=np.int64)),
-    )
-    signal = jnp.reshape(signal, working_shape)
+    signal, restore = _flatten_rows(signal, axis)
 
     if quantile >= 0:
         threshold = jnp.quantile(signal, 1 - quantile, axis=-1)
@@ -301,10 +307,7 @@ def quantile_mask(
     else:
         threshold = jnp.quantile(signal, abs(quantile), axis=-1)
         mask = signal < threshold[:, None]
-    mask = mask.astype(signal.dtype)
-
-    mask = 0.5 + weight * (mask - 0.5)
-    return jnp.moveaxis(mask.reshape(shape), tmp_axis, axis)
+    return restore(_soften(mask.astype(signal.dtype), weight))
 
 
 def biased_binary_mask(

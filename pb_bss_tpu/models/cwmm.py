@@ -104,9 +104,10 @@ class CWMMTrainer:
         inverse then uses a uniform-grid linear table (~1e-3 relative
         vs the scan path's log-spaced table — quality-equivalent)."""
         assert xor(initialization is None, num_classes is None), (
-            'Incompatible input combination. '
-            'Exactly one of the two inputs has to be None: '
-            f'{initialization is None} xor {num_classes is None}'
+            'Provide either `initialization` or `num_classes` — not '
+            'both and not neither. Got initialization is None: '
+            f'{initialization is None}, num_classes is None: '
+            f'{num_classes is None}.'
         )
         y = jnp.asarray(y)
         assert jnp.iscomplexobj(y), y.dtype

@@ -79,9 +79,10 @@ class GMMTrainer:
                 must match the covariance of ``covariance_type``).
         """
         assert xor(initialization is None, num_classes is None), (
-            'Incompatible input combination. '
-            'Exactly one of the two inputs has to be None: '
-            f'{initialization is None} xor {num_classes is None}'
+            'Provide either `initialization` or `num_classes` — not '
+            'both and not neither. Got initialization is None: '
+            f'{initialization is None}, num_classes is None: '
+            f'{num_classes is None}.'
         )
         y = jnp.asarray(y)
         assert not jnp.iscomplexobj(y), y.dtype

@@ -209,9 +209,10 @@ class VMFCACGMMTrainer:
             slow — for tests); False keeps the pure-XLA scan.
         """
         assert xor(initialization is None, num_classes is None), (
-            'Incompatible input combination. '
-            'Exactly one of the two inputs has to be None: '
-            f'{initialization is None} xor {num_classes is None}'
+            'Provide either `initialization` or `num_classes` — not '
+            'both and not neither. Got initialization is None: '
+            f'{initialization is None}, num_classes is None: '
+            f'{num_classes is None}.'
         )
         observation = jnp.asarray(observation)
         embedding = jnp.asarray(embedding)

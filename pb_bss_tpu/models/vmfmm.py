@@ -38,10 +38,8 @@ class VMFMM(Model):
         return self._predict(y)
 
     def _predict(self, y):
-        return log_pdf_to_affiliation(
-            self.weight,
-            self.vmf.log_pdf(y[..., None, :, :]),
-        )
+        log_pdf = self.vmf.log_pdf(y[..., None, :, :])
+        return log_pdf_to_affiliation(self.weight, log_pdf)
 
 
 class VMFMMTrainer:
@@ -63,9 +61,10 @@ class VMFMMTrainer:
         """EM for vMFMMs with any number of independent dimensions
         (reference vmfmm.py:43-98)."""
         assert xor(initialization is None, num_classes is None), (
-            'Incompatible input combination. '
-            'Exactly one of the two inputs has to be None: '
-            f'{initialization is None} xor {num_classes is None}'
+            'Provide either `initialization` or `num_classes` — not '
+            'both and not neither. Got initialization is None: '
+            f'{initialization is None}, num_classes is None: '
+            f'{num_classes is None}.'
         )
         y = jnp.asarray(y)
         assert not jnp.iscomplexobj(y), y.dtype
@@ -99,31 +98,13 @@ class VMFMMTrainer:
             max_concentration=float(max_concentration),
         )
 
-    def fit_predict(
-            self,
-            y,
-            initialization=None,
-            num_classes=None,
-            iterations=100,
-            *,
-            key=None,
-            saliency=None,
-            weight_constant_axis=(-1,),
-            min_concentration=1e-10,
-            max_concentration=500,
-    ):
-        """Fit a model, then return the posterior affiliations."""
+    def fit_predict(self, y, initialization=None, num_classes=None,
+                    iterations=100, **kwargs):
+        """Fit a model, then return its posterior affiliations for
+        ``y`` (keyword knobs are those of :meth:`fit`)."""
         model = self.fit(
-            y=y,
-            initialization=initialization,
-            num_classes=num_classes,
-            iterations=iterations,
-            key=key,
-            saliency=saliency,
-            min_concentration=min_concentration,
-            max_concentration=max_concentration,
-            weight_constant_axis=weight_constant_axis,
-        )
+            y=y, initialization=initialization,
+            num_classes=num_classes, iterations=iterations, **kwargs)
         return model.predict(y)
 
 
@@ -138,21 +119,15 @@ def _vmfmm_fit_em(y, affiliation, saliency, *, iterations,
                   max_concentration):
     def m_step(affiliation):
         weight = estimate_mixture_weight(
-            affiliation=affiliation,
-            saliency=saliency,
-            weight_constant_axis=weight_constant_axis,
-        )
+            affiliation, saliency=saliency,
+            weight_constant_axis=weight_constant_axis)
         vmf = VonMisesFisherTrainer()._fit(
-            y=y[..., None, :, :],
+            y[..., None, :, :],
             saliency=affiliation * saliency[..., None, :],
             min_concentration=min_concentration,
-            max_concentration=max_concentration,
-        )
+            max_concentration=max_concentration)
         return VMFMM(weight=weight, vmf=vmf)
 
     return run_em(
-        affiliation=affiliation,
-        iterations=iterations,
-        m_step=m_step,
-        e_step=lambda model: model._predict(y),
-    )
+        affiliation=affiliation, iterations=iterations,
+        m_step=m_step, e_step=lambda model: model._predict(y))

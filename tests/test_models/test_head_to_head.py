@@ -264,6 +264,27 @@ def test_cbmm_head_to_head(ref2):
         sc.delta_sdr(masks_ours), sc.delta_sdr(masks_ref), tol)
 
 
+@pytest.mark.slow
+def test_cbmm_long_fit_beats_short_fit():
+    """What the reference cannot afford to test: 20 Bingham EM
+    iterations (16 ms on TPU via the whole-fit kernel; the reference's
+    per-bin scipy solver makes this impractical, hence its 4-iteration
+    smoke). Measured on this scenario: the longer fit improves the
+    MEAN Delta-SDR on both metrics (invasive -2.49 -> -1.11 dB,
+    mir_eval -6.02 -> -4.22 dB) but is NOT per-speaker monotone
+    (speaker 1 gains ~3 dB while speaker 0 loses ~0.4/3.9 dB) — the
+    per-frequency Bingham EM reallocates ambiguous bins between
+    classes as concentrations sharpen. The assertion pins the mean
+    improvement; the per-speaker non-monotonicity is documented in
+    docs/DESIGN.md."""
+    sc = _Scenario(reverberation=False)
+    short = sc.delta_sdr(_run_ours(CBMMTrainer, sc, iterations=4))
+    long = sc.delta_sdr(_run_ours(CBMMTrainer, sc, iterations=20))
+    for key in ('invasive', 'mir_eval'):
+        assert np.mean(long[key]) > np.mean(short[key]), (
+            key, long[key], short[key])
+
+
 def _run_integration_ours(Trainer, sc, emb, init, iterations=40):
     affiliation = np.asarray(Trainer().fit_predict(
         sc.Y_mm, emb,

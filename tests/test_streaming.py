@@ -99,6 +99,94 @@ def test_separates_two_speakers():
     assert np.all(sdr_out > sdr_mix + 1.0), (sdr_out, sdr_mix)
 
 
+def _moving_scene(duration_s, sr=8000, d=4, seed=0):
+    """2 sources whose mixing vectors rotate to new random directions
+    over the stream (the drift case the periodic realignment exists
+    for); returns (observation (D, N) f32, sources (2, N))."""
+    rng = np.random.default_rng(seed)
+    n = int(duration_s * sr)
+    t = np.arange(n)
+    src = np.stack([
+        (0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * t / sr))
+        * rng.standard_normal(n),
+        (0.6 + 0.4 * np.sin(2 * np.pi * 4.7 * t / sr + 1.0))
+        * rng.standard_normal(n),
+    ])
+    alpha = (t / n)[None, :]
+    obs = np.zeros((d, n))
+    for k in range(2):
+        a = rng.standard_normal(d)
+        b = rng.standard_normal(d)
+        a /= np.linalg.norm(a)
+        b /= np.linalg.norm(b)
+        mix = (1 - alpha) * a[:, None] + alpha * b[:, None]
+        mix /= np.linalg.norm(mix, axis=0, keepdims=True)
+        obs += mix * src[k][None, :]
+    obs += 0.05 * rng.standard_normal((d, n))
+    return obs.astype(np.float32), src
+
+
+def _quarter_sdr(out, src):
+    """(mean SDR per quarter, best assignment per quarter)."""
+    import itertools
+    n = src.shape[-1]
+    rows = []
+    for q in range(4):
+        sl = slice(q * n // 4, (q + 1) * n // 4)
+        o, s = out[:, sl], src[:, sl]
+        best = None
+        for perm in itertools.permutations(range(o.shape[0]),
+                                           s.shape[0]):
+            sdrs = []
+            for i, j in enumerate(perm):
+                proj = (np.dot(o[j], s[i]) / np.dot(s[i], s[i])) * s[i]
+                e = o[j] - proj
+                num = np.dot(proj, proj)
+                sdrs.append(10 * np.log10(
+                    num / np.maximum(np.dot(e, e), 1e-12)))
+            mean = np.mean(sdrs)
+            if best is None or mean > best[0]:
+                best = (mean, perm)
+        rows.append(best)
+    return [r[0] for r in rows], [r[1] for r in rows]
+
+
+@pytest.mark.slow
+def test_moving_sources_drift_correction():
+    """On a slowly moving scene the default periodic realignment must
+    (a) keep class identity stable across the stream and (b) hold
+    late-stream quality where the warm-up-only policy collapses
+    (measured: Q3 mean SDR -6.0 dB without realignment vs +0.6 dB
+    with interval 8). The scene must move SLOWLY relative to the
+    model's forgetting horizon and the aligner's 4 s affiliation
+    window — at half this duration (twice the rotation rate) even the
+    realigned stream collapses, so the full 60 s scene is the test."""
+    obs, src = _moving_scene(60.0)
+
+    def run(realign_interval):
+        sep = StreamingSeparator(
+            num_classes=3, block_frames=32, forgetting=0.995,
+            inner_iterations=2, init_iterations=20,
+            realign_interval=realign_interval)
+        outs = [sep.process(obs[:, i:i + 4096])
+                for i in range(0, obs.shape[-1], 4096)]
+        outs.append(sep.flush())
+        out = np.concatenate(outs, axis=-1)
+        delay = sep.size - sep.shift
+        return np.float64(out[:, delay:delay + obs.shape[-1]])
+
+    sdr_default, perms_default = _quarter_sdr(run(8), src)
+    sdr_off, _ = _quarter_sdr(run(None), src)
+
+    # identity never swaps mid-stream under the majority-anchored
+    # periodic realignment
+    assert len(set(perms_default)) == 1, perms_default
+    # the realigned stream must beat the warm-up-only policy in the
+    # second half of the moving scene
+    assert np.mean(sdr_default[2:]) > np.mean(sdr_off[2:]) + 1.0, (
+        sdr_default, sdr_off)
+
+
 @pytest.mark.slow
 def test_beamformed_streaming():
     """GEV-beamformed streaming on decayed class PSDs: finite output,
