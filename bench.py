@@ -437,10 +437,11 @@ def bench_extras():
             f' ms + host bss_eval {dt_bss * 1e3:.0f} ms')
 
         # config 5b: device-resident BATCHED eval (batch 8) vs the
-        # host path run 8 times — the round-3 device BSS-eval/STOI
-        # (evaluation/module_bss_eval_device.py, module_stoi_device.py)
-        from pb_bss_tpu.evaluation import (
-            bss_eval_sources_batch, stoi_batch,
+        # host path run 8 times — one fused program + ONE packed
+        # fetch for BSS-Eval + aligned STOI (what the
+        # OutputMetricsBatch facade runs)
+        from pb_bss_tpu.evaluation._fused_eval_device import (
+            bss_eval_stoi_fused_batch,
         )
         Beval = 8
         batch_inputs = [
@@ -452,16 +453,14 @@ def bench_extras():
                  (Beval, Kq, N)).astype(np.float32))
             for _ in range(3)
         ]
-        # warm the compiles
-        _ = bss_eval_sources_batch(*batch_inputs[0])
-        _ = stoi_batch(*batch_inputs[0], sample_rate=8000)
+        # warm the compile
+        _ = bss_eval_stoi_fused_batch(*batch_inputs[0],
+                                      sample_rate=8000)
         start = time.perf_counter()
         acc = 0.0
         for r, e in batch_inputs:
-            out = bss_eval_sources_batch(r, e)
-            acc += float(np.sum(out['sdr']))
-            acc += float(np.sum(np.asarray(
-                stoi_batch(r, e, sample_rate=8000))))
+            out = bss_eval_stoi_fused_batch(r, e, sample_rate=8000)
+            acc += float(np.sum(out['sdr']) + np.sum(out['stoi']))
         dt_dev = (time.perf_counter() - start) / len(batch_inputs)
         # same measurement with inputs pre-staged on device (the
         # ~30 ms/array host->device tunnel transport excluded; a real
@@ -471,10 +470,8 @@ def bench_extras():
         _ = np.asarray(fetch(sum(r.sum() + e.sum() for r, e in staged)))
         start = time.perf_counter()
         for r, e in staged:
-            out = bss_eval_sources_batch(r, e)
-            acc += float(np.sum(out['sdr']))
-            acc += float(np.sum(np.asarray(
-                stoi_batch(r, e, sample_rate=8000))))
+            out = bss_eval_stoi_fused_batch(r, e, sample_rate=8000)
+            acc += float(np.sum(out['sdr']) + np.sum(out['stoi']))
         dt_staged = (time.perf_counter() - start) / len(staged)
         start = time.perf_counter()
         for b in range(Beval):

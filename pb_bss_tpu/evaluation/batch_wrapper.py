@@ -128,7 +128,24 @@ class OutputMetricsBatch:
     # ------------------------------------------------------------------
 
     @cached_property
+    def _fused_eval(self):
+        """BSS-Eval + selection-aligned STOI for the whole batch as
+        ONE device program / ONE packed fetch (requires a sample
+        rate for the STOI resampler)."""
+        from ._fused_eval_device import bss_eval_stoi_fused_batch
+        return bss_eval_stoi_fused_batch(
+            reference=self.speech_source,
+            estimation=self.speech_prediction,
+            sample_rate=self.sample_rate,
+            compute_permutation=self.compute_permutation,
+        )
+
+    @cached_property
     def mir_eval(self):
+        if self.sample_rate is not None:
+            out = dict(self._fused_eval)
+            out.pop('stoi')
+            return out
         return bss_eval_sources_batch(
             reference=self.speech_source,
             estimation=self.speech_prediction,
@@ -163,6 +180,8 @@ class OutputMetricsBatch:
 
     @cached_property
     def stoi(self):
+        if self.sample_rate is not None:
+            return self._fused_eval['stoi']
         return stoi_batch(
             reference=self.speech_source,
             estimation=self.speech_prediction_selection,
