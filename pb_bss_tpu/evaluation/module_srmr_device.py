@@ -23,19 +23,24 @@ so the only difference is the transform length). The Hilbert kernel's
 final SRMR stays well inside the host implementation's own 1.3e-2
 tolerance against SRMRpy (tests/test_evaluation/test_srmr_device.py).
 
-The 8 modulation filters are near-DC band-passes (4-128 Hz at a
-8/16 kHz rate): their pole sections have DC gains of ~4e5, so float32
-recursion — sequential or scan — amplifies coefficient rounding into
-O(1) errors (measured: 70x output error for the 4 Hz filter; only the
-feedforward zeros at z = +-1 keep the response finite, and they no
-longer cancel exactly once the coefficients are rounded). They are
-instead applied as FFT convolutions against impulse responses
+Both filterbanks run as FFT convolutions against impulse responses
 precomputed ON THE HOST IN FLOAT64 and truncated to the bucket length
 — for a finite zero-state signal this IS ``lfilter`` exactly (only
-lags < m contribute), and an f32 FFT convolution has no resonant error
-amplification. The 23-band gammatone cascade has no such hazard
-(measured f32-exact at the band level) and stays on the
-associative-scan IIR.
+lags < m contribute), for two independent reasons:
+
+* the 8 modulation filters are near-DC band-passes (4-128 Hz at an
+  8/16 kHz rate) whose pole sections have DC gains of ~4e5, so f32
+  RECURSION — sequential or scan — amplifies coefficient rounding
+  into O(1) errors (measured: 70x output error for the 4 Hz filter;
+  only the feedforward zeros at z = +-1 keep the response finite, and
+  they no longer cancel once the coefficients are rounded). The FFT
+  convolution has no resonant error amplification.
+* the 23-band gammatone cascade is f32-SAFE as a recursion (measured)
+  but SLOW as one: the associative-scan IIR spends ~370 ms on the
+  8-signal bucket (tiny (2, 2) matrix chains scan poorly on the VPU),
+  vs ~10 ms as 23 FFT convolutions sharing one forward rfft of the
+  signal. Its impulse response decays below 1e-20 well inside the
+  bucket, so the truncation is exact at f32.
 """
 from __future__ import annotations
 
@@ -46,7 +51,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..transform.filters import biquad_filter
 from ..transform.gammatone import _section_coefficients, calculate_cfs
 from .module_srmr import _preprocessing_vad
 
@@ -94,6 +98,14 @@ def _program(sample_rate, m, n, low_freq):
         for kf in range(len(_MODULATION_FREQS))])      # (8, m)
     n_fft = int(2 ** np.ceil(np.log2(2 * m - 1)))
     hf_mod = np.fft.rfft(h_mod, n_fft)                 # (8, n_fft/2+1)
+    # ... and the same for the 23-band gammatone cascade (one combined
+    # impulse response per band through all 4 sections)
+    h_gt = np.broadcast_to(imp, (n, m)).copy()
+    for s in range(4):
+        for i in range(n):
+            h_gt[i] = scipy.signal.lfilter(
+                stages[s, i], a_gt[i], h_gt[i])
+    hf_gt = np.fft.rfft(h_gt, n_fft)                   # (n, n_fft/2+1)
     cfs = calculate_cfs(low_freq, sample_rate / 2, n)
     erbs = cfs / 9.26449 + 24.7
     cutoffs = np.array([
@@ -109,14 +121,13 @@ def _program(sample_rate, m, n, low_freq):
         h[0] = 1
         h[1:(m + 1) // 2] = 2
 
-    def single(x, length, stages_d, a_gt_d, hamm_d, h_d, hf_mod_d):
+    def single(x, length, hf_gt_d, hamm_d, h_d, hf_mod_d):
         valid = (jnp.arange(m) < length).astype(x.dtype)
-        # 23-band gammatone cascade (4 biquads, filters batched)
-        bands = jnp.broadcast_to(x[None], (n, m))
-        a_ = tuple(a_gt_d[:, i] for i in range(3))   # (n,) per coeff
-        for s in range(4):
-            b_ = tuple(stages_d[s, :, i] for i in range(3))
-            bands = biquad_filter(bands, b_, a_)
+        # 23-band gammatone bank: one shared forward rfft of the
+        # signal, one inverse per band
+        xf = jnp.fft.rfft(x, n_fft)                  # (n_fft/2+1,)
+        bands = jnp.fft.irfft(
+            xf[None] * hf_gt_d, n_fft, axis=-1)[..., :m]
         bands = bands * valid[None]
         # Hilbert envelope over the bucket length
         env = jnp.abs(jnp.fft.ifft(jnp.fft.fft(bands, axis=-1)
@@ -169,16 +180,15 @@ def _program(sample_rate, m, n, low_freq):
 
     @jax.jit
     def program(xs, lengths):
-        stages_d = jnp.asarray(stages, xs.dtype)
-        a_gt_d = jnp.asarray(a_gt, xs.dtype)
         hamm_d = jnp.asarray(hamm, xs.dtype)
         h_d = jnp.asarray(h, xs.dtype)
         cdtype = (jnp.complex128 if xs.dtype == jnp.float64
                   else jnp.complex64)
         hf_mod_d = jnp.asarray(hf_mod, cdtype)
+        hf_gt_d = jnp.asarray(hf_gt, cdtype)
         with jax.default_matmul_precision('float32'):
             return jax.vmap(
-                lambda x, l: single(x, l, stages_d, a_gt_d, hamm_d,
+                lambda x, l: single(x, l, hf_gt_d, hamm_d,
                                     h_d, hf_mod_d))(xs, lengths)
 
     return program
