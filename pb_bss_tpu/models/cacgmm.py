@@ -655,13 +655,20 @@ class CACGMMTrainer:
                 (pb_bss_tpu.ops.pallas_em, experimental); requires
                 (F, N, D) input without saliency/mask/aligner and
                 weight_constant_axis=(-1,).
-            use_fused_em: run the WHOLE EM loop as one Pallas kernel
-                (ops/pallas_em_loop.py, ~3x over the scan path on
-                TPU). ``'auto'`` (default) enables it on non-CPU
-                backends for c64 (F, N, D) inputs when the knobs are
-                supported — saliency and source_activity_mask are
-                handled natively; inline PA, non-per-bin
-                weight_constant_axis, hermitize=False or a
+            use_fused_em: run the EM through the fused Pallas kernels.
+                Per-bin weights (``weight_constant_axis=(-1,)``) use
+                the whole-fit single-launch kernel
+                (ops/pallas_em_loop.py, ~7x over the scan path on
+                TPU); frequency-constant weights
+                (``weight_constant_axis=(-3, -1)``) use the
+                per-iteration-fused kernels (ops/pallas_em_step.py —
+                same per-iteration cost, with the global weight as
+                one XLA reduction over bins that shards as a psum).
+                ``'auto'`` (default) enables the matching path on
+                non-CPU backends for c64 (F, N, D) inputs when the
+                knobs are supported — saliency and
+                source_activity_mask are handled natively; inline PA,
+                other weight axes, hermitize=False or a
                 non-eigenvalue covariance norm fall back to the scan
                 path. ``True`` forces it (interpreter mode on CPU,
                 slow — for tests); ``False`` keeps the scan path.
