@@ -120,6 +120,10 @@ def bss_eval_stoi_fused(reference, estimation, sample_rate,
     assert ests.shape[1] == n, (refs.shape, ests.shape)
     if compute_permutation:
         assert K < 8, (refs.shape, 'K! permutation search')
+    else:
+        assert M == K, (
+            'the extra (noise) estimate needs the permutation search '
+            'to route it', refs.shape, ests.shape)
     program = _fused_program(
         int(sample_rate), K, M, n, bool(compute_permutation))
     packed = np.asarray(program(refs, ests))                  # (5, K)
@@ -150,6 +154,10 @@ def bss_eval_stoi_fused_batch(reference, estimation, sample_rate,
     assert ests.shape[:-2] == lead, (refs.shape, ests.shape)
     if compute_permutation:
         assert K < 8, (refs.shape, 'K! permutation search')
+    else:
+        assert M == K, (
+            'the extra (noise) estimate needs the permutation search '
+            'to route it', refs.shape, ests.shape)
     program = _fused_batch_program(
         int(sample_rate), K, M, n, bool(compute_permutation))
     packed = np.asarray(program(

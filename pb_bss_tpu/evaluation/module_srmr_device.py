@@ -234,11 +234,17 @@ def srmr_batch(signal, sample_rate: int = 16000,
 
     program = _program(int(sample_rate), m, int(n_cochlear_filters),
                        int(low_freq))
+    # The program's working set scales with chunk * bands * n_fft
+    # (complex spectra of every band); shrink the chunk for long
+    # buckets so minutes-long signals cannot exhaust device memory.
+    n_fft = int(2 ** np.ceil(np.log2(2 * m - 1)))
+    per_signal = n_cochlear_filters * n_fft * 8 * 4  # bytes, ~4 copies
+    chunk_size = int(max(1, min(_CHUNK, (2 << 30) // per_signal)))
     out = []
-    for i in range(0, len(spliced), _CHUNK):
-        chunk = padded[i:i + _CHUNK]
-        lens = lengths[i:i + _CHUNK]
-        pad_rows = _CHUNK - chunk.shape[0]
+    for i in range(0, len(spliced), chunk_size):
+        chunk = padded[i:i + chunk_size]
+        lens = lengths[i:i + chunk_size]
+        pad_rows = chunk_size - chunk.shape[0]
         if pad_rows:
             chunk = np.pad(chunk, ((0, pad_rows), (0, 0)))
             lens = np.pad(lens, (0, pad_rows))
