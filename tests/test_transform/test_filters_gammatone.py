@@ -51,8 +51,10 @@ class TestGammatone:
         assert np.all(np.diff(cfs) > 0)
         assert cfs[-1] < 8000
 
-    def test_matches_scipy_reference_implementation(self):
-        """Same cascade with scipy.lfilter must match exactly."""
+    @pytest.mark.parametrize('method', ['fft', 'scan'])
+    def test_matches_scipy_reference_implementation(self, method):
+        """Same cascade with scipy.lfilter must match exactly — for
+        both the FFT-convolution and the associative-scan method."""
         from pb_bss_tpu.transform.gammatone import (
             _calculate_coefficients)
         rng = np.random.default_rng(3)
@@ -62,7 +64,8 @@ class TestGammatone:
         A0, A11, A12, A13, A14, A2, B0, B1, B2, gain = \
             _calculate_coefficients(cfs, 16000)
 
-        ours = np.asarray(gammatone_filterbank(signal, 16000, n=n))
+        ours = np.asarray(gammatone_filterbank(
+            signal, 16000, n=n, method=method))
         for i in range(n):
             y1 = scipy.signal.lfilter(
                 [A0 / gain[i], A11[i] / gain[i], A2 / gain[i]],
