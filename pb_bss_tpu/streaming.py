@@ -456,6 +456,106 @@ class StreamingSeparator:
             window=self.window, beamformer=self.beamformer)
         return np.asarray(out)
 
+    # ------------------------------------------------------------------
+    # Serving failover: snapshot / resume a LIVE stream
+    # ------------------------------------------------------------------
+
+    _CONFIG_KEYS = ('num_classes', 'size', 'shift', 'window',
+                    'block_frames', 'forgetting', 'reference_channel',
+                    'beamformer', 'init_frames', 'realign_interval')
+
+    def _config(self):
+        return {k: getattr(self, k) for k in self._CONFIG_KEYS}
+
+    def state_dict(self):
+        """Snapshot the live stream as host NumPy (serving failover /
+        migration): every device leaf — EM model + decayed statistics,
+        analysis lookback, overlap-add tails, beamformer PSDs and
+        weights, alignment history — plus the host sample buffer and
+        counters. Complex leaves transfer as real pairs internally
+        (tunneled backends cannot move complex buffers), so the
+        snapshot works mid-stream on real TPU serving rigs.
+
+        The result is a nested dict of NumPy arrays / scalars —
+        persist it however you like (``np.savez`` over
+        ``pb_bss_tpu.utils.checkpoint._flatten_dict``, pickle, an
+        object store) and hand it to :meth:`load_state_dict` on a
+        fresh separator with the same constructor arguments.
+
+        The only state NOT captured is the PRNG ``key`` of a stream
+        snapshotted BEFORE its warm-up EM ran (pass the same ``key``
+        to the resuming separator in that case); after warm-up the
+        key is consumed and the snapshot is complete.
+        """
+        from .utils import to_numpy
+
+        def fetch(x):
+            return None if x is None else to_numpy(x)
+
+        return {
+            'config': self._config(),
+            'buffer': (None if self._buffer is None
+                       else self._buffer.copy()),
+            'finished': self._finished,
+            'blocks_since_align': self._blocks_since_align,
+            'lookback': fetch(self._lookback),
+            'ola_tail': fetch(self._ola_tail),
+            'aff_hist': fetch(self._aff_hist),
+            'psd_acc': fetch(self._psd_acc),
+            'psd_count': fetch(self._psd_count),
+            'w_prev': fetch(self._w_prev),
+            'warmup_blocks': (
+                None if self._warmup_blocks is None
+                else [fetch(b) for b in self._warmup_blocks]),
+            'em_state': (
+                None if self._em_state is None
+                else jax.tree_util.tree_map(
+                    to_numpy, self._em_state.to_dict())),
+        }
+
+    def load_state_dict(self, state):
+        """Resume a stream from :meth:`state_dict` output. The
+        separator must be constructed with the same arguments (checked
+        against the snapshot's config); subsequent ``process`` calls
+        continue the stream exactly where the snapshot left off."""
+        config = dict(state['config'])
+        mine = self._config()
+        assert config == mine, (
+            'snapshot/config mismatch — construct the separator with '
+            'the same arguments', config, mine)
+
+        mk = jax.jit(lambda re, im: re + 1j * im)
+
+        def put(x):
+            if x is None:
+                return None
+            x = np.asarray(x)
+            if np.iscomplexobj(x):
+                rdtype = (jnp.float64 if x.dtype == np.complex128
+                          else jnp.float32)
+                return mk(jnp.asarray(x.real, rdtype),
+                          jnp.asarray(x.imag, rdtype))
+            return jnp.asarray(x)
+
+        self._buffer = (None if state['buffer'] is None
+                        else np.asarray(state['buffer']))
+        self._finished = bool(state['finished'])
+        self._blocks_since_align = int(state['blocks_since_align'])
+        self._lookback = put(state['lookback'])
+        self._ola_tail = put(state['ola_tail'])
+        self._aff_hist = put(state['aff_hist'])
+        self._psd_acc = put(state['psd_acc'])
+        self._psd_count = put(state['psd_count'])
+        self._w_prev = put(state['w_prev'])
+        self._warmup_blocks = (
+            None if state['warmup_blocks'] is None
+            else [put(b) for b in state['warmup_blocks']])
+        self._em_state = (
+            None if state['em_state'] is None
+            else StreamingCACGMMState.from_dict(
+                jax.tree_util.tree_map(put, state['em_state'])))
+        return self
+
     def process(self, samples):
         """Feed (D, n) samples; returns (K, m) separated samples
         (m = however many full blocks completed, possibly 0)."""
