@@ -368,6 +368,41 @@ def bench_extras():
     except Exception as e:  # pragma: no cover
         lines.append(f'cbmm config failed: {type(e).__name__}: {e}')
 
+    # config 3c: frequency-constant mixture weights (the cross-shard
+    # psum mode) — per-iteration-fused kernels (r4) vs the scan path
+    try:
+        from pb_bss_tpu.models.cacgmm import CACGMMTrainer
+        y = _make_data(seed=14)
+        B = 8
+        inputs = [
+            (jnp.asarray(
+                 np.broadcast_to(y.real, (B,) + y.shape)
+                 + 1e-3 * rng.standard_normal(
+                     (B,) + y.shape).astype(np.float32), jnp.float32),
+             jnp.asarray(np.broadcast_to(y.imag, (B,) + y.shape).copy(),
+                         jnp.float32))
+            for _ in range(3)
+        ]
+        _ = np.asarray(fetch(sum(a.sum() + b.sum() for a, b in inputs)))
+
+        def fc_fit(fused):
+            @jax.jit
+            def f(y_re, y_im):
+                m = CACGMMTrainer().fit(
+                    y_re + 1j * y_im, num_classes=K,
+                    iterations=EM_ITERS,
+                    weight_constant_axis=(-3, -1), use_fused_em=fused)
+                return jnp.sum(m.cacg.covariance_eigenvalues)
+            return f
+        dt_fused = timed(fc_fit(True), inputs) / (B * EM_ITERS)
+        dt_scan = timed(fc_fit(False), inputs) / (B * EM_ITERS)
+        lines.append(
+            f'fc-weight EM (psum mode): fused {dt_fused * 1e3:.3f} '
+            f'ms/iter vs scan {dt_scan * 1e3:.3f} ms/iter '
+            f'({dt_scan / dt_fused:.1f}x)')
+    except Exception as e:  # pragma: no cover
+        lines.append(f'fc config failed: {type(e).__name__}: {e}')
+
     # config 4: batched 3-speaker separation incl. 513-bin PA
     try:
         from pb_bss_tpu.pipeline import separate_batch

@@ -14,4 +14,7 @@ from .module_stoi import stoi  # noqa: F401
 from .module_si_sdr import si_sdr  # noqa: F401
 from .sxr_module import input_sxr, output_sxr, get_snr  # noqa: F401
 from .wrapper import InputMetrics, OutputMetrics  # noqa: F401
-from .batch_wrapper import OutputMetricsBatch  # noqa: F401
+from .batch_wrapper import (  # noqa: F401
+    InputMetricsBatch,
+    OutputMetricsBatch,
+)

@@ -28,7 +28,206 @@ from .module_bss_eval_device import bss_eval_sources_batch
 from .module_stoi_device import stoi_batch
 from .wrapper import VerboseKeyError, _pesq_available
 
-__all__ = ['OutputMetricsBatch']
+__all__ = ['InputMetricsBatch', 'OutputMetricsBatch']
+
+
+class InputMetricsBatch:
+    """Batched counterpart of ``InputMetrics``: metrics of the
+    unprocessed observations vs the clean sources for a whole batch of
+    utterances, with BSS-Eval + STOI as one fused device program
+    (channels x utterances form the program's batch axis) and SRMR on
+    the device SRMR core.
+
+    Args:
+        observation: (..., D, N) mixtures.
+        speech_source: (..., K_source, N) clean sources.
+        speech_image / noise_image: optional (..., K_source, D, N) /
+            (..., D, N) sensor images enabling the invasive metrics.
+        sample_rate: needed by STOI / SRMR.
+        enable_si_sdr: see ``InputMetrics``.
+    """
+
+    def __init__(self, observation, speech_source, speech_image=None,
+                 noise_image=None, sample_rate: int = None,
+                 enable_si_sdr: bool = False):
+        self.observation = np.asarray(observation)
+        self.speech_source = np.asarray(speech_source)
+        self.speech_image = (None if speech_image is None
+                             else np.asarray(speech_image))
+        self.noise_image = (None if noise_image is None
+                            else np.asarray(noise_image))
+        self.sample_rate = sample_rate
+        self.enable_si_sdr = enable_si_sdr
+        self._has_image_signals = (
+            speech_image is not None and noise_image is not None)
+
+        assert self.observation.ndim >= 3, (
+            'Expected batched (..., D, N) observations; use '
+            'InputMetrics for a single utterance.',
+            self.observation.shape)
+        self.batch_shape = self.observation.shape[:-2]
+        self.channels, self.samples = self.observation.shape[-2:]
+        self.K_source = self.speech_source.shape[-2]
+        assert self.speech_source.shape == (
+            self.batch_shape + (self.K_source, self.samples)), (
+            self.speech_source.shape, self.observation.shape)
+        if self._has_image_signals:
+            assert self.speech_image.shape == (
+                self.batch_shape
+                + (self.K_source, self.channels, self.samples)), (
+                self.speech_image.shape)
+            assert self.noise_image.shape == self.observation.shape, (
+                self.noise_image.shape, self.observation.shape)
+
+    @cached_property
+    def _broadcast_pair(self):
+        """(..., K, D, N) views pairing every speaker with every
+        channel (the ``InputMetrics`` convention)."""
+        shape = (self.batch_shape
+                 + (self.K_source, self.channels, self.samples))
+        return (
+            np.broadcast_to(self.speech_source[..., :, None, :], shape),
+            np.broadcast_to(self.observation[..., None, :, :], shape),
+        )
+
+    @cached_property
+    def _fused_eval(self):
+        from ._fused_eval_device import bss_eval_stoi_fused_batch
+        reference, estimation = self._broadcast_pair
+        out = bss_eval_stoi_fused_batch(
+            reference=np.swapaxes(reference, -3, -2),  # (..., D, K, N)
+            estimation=np.swapaxes(estimation, -3, -2),
+            sample_rate=self.sample_rate,
+            compute_permutation=False)
+        return {key: np.swapaxes(out[key], -2, -1)    # -> (..., K, D)
+                for key in ('sdr', 'sir', 'sar', 'stoi')}
+
+    @cached_property
+    def mir_eval(self):
+        out = dict(self._fused_eval)
+        out.pop('stoi')
+        return out
+
+    @cached_property
+    def mir_eval_sdr(self):
+        return self.mir_eval['sdr']
+
+    @cached_property
+    def mir_eval_sir(self):
+        return self.mir_eval['sir']
+
+    @cached_property
+    def mir_eval_sar(self):
+        return self.mir_eval['sar']
+
+    @cached_property
+    def stoi(self):
+        return self._fused_eval['stoi']
+
+    @cached_property
+    def srmr(self):
+        import jax
+        if jax.default_backend() != 'cpu':
+            from .module_srmr_device import srmr_batch
+            return srmr_batch(self.observation, self.sample_rate)
+        flat = self.observation.reshape((-1, self.samples))
+        values = [pb_bss_tpu.evaluation.srmr(row, self.sample_rate)
+                  for row in flat]
+        return np.array(values).reshape(
+            self.batch_shape + (self.channels,))
+
+    @cached_property
+    def pesq(self):
+        reference, estimation = self._broadcast_pair
+        flat_ref = reference.reshape((-1, self.samples))
+        flat_est = estimation.reshape((-1, self.samples))
+        values = [
+            pb_bss_tpu.evaluation.pesq(r, e, self.sample_rate)
+            for r, e in zip(flat_ref, flat_est)
+        ]
+        return np.array(values).reshape(
+            self.batch_shape + (self.K_source, self.channels))
+
+    @cached_property
+    def si_sdr(self):
+        if not self.enable_si_sdr:
+            raise ValueError(
+                'SI-SDR is disabled by default since it is only '
+                'well-defined for non-reverberant single-channel '
+                'data. Enable it with `enable_si_sdr=True`.')
+        return np.asarray(pb_bss_tpu.evaluation.si_sdr(
+            reference=self.speech_source[..., :, None, :],
+            estimation=self.observation[..., None, :, :],
+            allow_float32=self.observation.dtype != np.float64,
+        ))
+
+    @cached_property
+    def invasive_sxr(self):
+        from .sxr_module import input_sxr
+        images = self.speech_image.reshape(
+            (-1, self.K_source, self.channels, self.samples))
+        noises = self.noise_image.reshape(
+            (-1, self.channels, self.samples))
+        rows = [
+            input_sxr(images[b], noises[b], average_sources=False,
+                      average_channels=False, return_dict=True)
+            for b in range(images.shape[0])
+        ]
+        return {
+            key: np.stack([row[key] for row in rows]).reshape(
+                self.batch_shape + (self.K_source, self.channels))
+            for key in ('sdr', 'sir', 'snr')
+        }
+
+    @cached_property
+    def invasive_sdr(self):
+        return self.invasive_sxr['sdr']
+
+    @cached_property
+    def invasive_sir(self):
+        return self.invasive_sxr['sir']
+
+    @cached_property
+    def invasive_snr(self):
+        return self.invasive_sxr['snr']
+
+    def _available_metric_names(self):
+        names = ['stoi', 'mir_eval_sdr', 'mir_eval_sir',
+                 'mir_eval_sar', 'srmr']
+        if _pesq_available():
+            names.insert(0, 'pesq')
+        if self.enable_si_sdr:
+            names.append('si_sdr')
+        if self._has_image_signals:
+            names += ['invasive_sdr', 'invasive_snr', 'invasive_sir']
+        return tuple(names)
+
+    def _disabled_metric_names(self):
+        disabled = []
+        if not _pesq_available():
+            disabled.append('pesq')
+        if not self.enable_si_sdr:
+            disabled.append('si_sdr')
+        if not self._has_image_signals:
+            disabled += ['invasive_sdr', 'invasive_snr',
+                         'invasive_sir']
+        return disabled
+
+    def as_dict(self):
+        return {name: self[name]
+                for name in self._available_metric_names()}
+
+    def __getitem__(self, item):
+        assert isinstance(item, str), (type(item), item)
+        try:
+            return getattr(self, item)
+        except AttributeError:
+            pass
+        raise VerboseKeyError(
+            item,
+            self._available_metric_names(),
+            f'Disabled: {self._disabled_metric_names()}',
+        )
 
 
 class OutputMetricsBatch:

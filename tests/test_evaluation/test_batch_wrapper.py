@@ -9,7 +9,12 @@ import numpy as np
 import pytest
 from numpy.testing import assert_allclose
 
-from pb_bss_tpu.evaluation import OutputMetrics, OutputMetricsBatch
+from pb_bss_tpu.evaluation import (
+    InputMetrics,
+    InputMetricsBatch,
+    OutputMetrics,
+    OutputMetricsBatch,
+)
 
 
 def _utterance(seed, k=2, t=8000, extra_noise_estimate=False):
@@ -96,6 +101,46 @@ def test_multi_leading_dims_and_errors():
             speech_prediction=utts[0][1],  # single utterance
             speech_source=utts[0][0],
             sample_rate=8000)
+
+
+@pytest.mark.slow
+def test_input_batch_matches_host_loop():
+    """InputMetricsBatch vs a loop of host-oracle InputMetrics."""
+    rng = np.random.RandomState(3)
+    B, K, D, T = 3, 2, 3, 8000
+    sources = rng.randn(B, K, T)
+    h = rng.randn(B, K, D, 12) * 0.3
+    images = np.stack([
+        np.stack([
+            np.stack([np.convolve(sources[b, k], h[b, k, d])[:T]
+                      for d in range(D)])
+            for k in range(K)
+        ])
+        for b in range(B)
+    ])                                      # (B, K, D, T)
+    noise = 0.05 * rng.randn(B, D, T)
+    obs = images.sum(1) + noise
+
+    batch = InputMetricsBatch(
+        observation=obs, speech_source=sources,
+        speech_image=images, noise_image=noise, sample_rate=8000)
+    got = batch.as_dict()
+    assert 'pesq' not in got
+
+    for b in range(B):
+        expected = InputMetrics(
+            observation=obs[b], speech_source=sources[b],
+            speech_image=images[b], noise_image=noise[b],
+            sample_rate=8000, device_metrics=False,
+        ).as_dict()
+        for key in ('mir_eval_sdr', 'mir_eval_sir', 'mir_eval_sar'):
+            assert_allclose(got[key][b], expected[key], atol=1e-7,
+                            err_msg=key)
+        assert_allclose(got['stoi'][b], expected['stoi'], atol=1e-9)
+        assert_allclose(got['srmr'][b], expected['srmr'], rtol=2e-3)
+        for key in ('invasive_sdr', 'invasive_sir', 'invasive_snr'):
+            assert_allclose(got[key][b], expected[key], atol=1e-10,
+                            err_msg=key)
 
 
 @pytest.mark.slow
