@@ -580,6 +580,21 @@ def main():
     import os
     import sys
 
+    # Persistent XLA compilation cache: the bench is compile-bound on
+    # a cold process (a dozen distinct programs at ~20-60 s each over
+    # a tunneled backend); warm reruns skip the compiles. Same
+    # opt-out/keying as tests/conftest.py.
+    if os.environ.get('PB_BSS_TPU_BENCH_COMPILE_CACHE', '1') != '0':
+        import jax
+        jax.config.update(
+            'jax_compilation_cache_dir',
+            os.environ.get(
+                'JAX_COMPILATION_CACHE_DIR',
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             '.jax_compile_cache')))
+        jax.config.update(
+            'jax_persistent_cache_min_compile_time_secs', 0.5)
+
     y = _make_data()
     em_np, gev_np = bench_numpy(y)
     em_jax, gev_jax = bench_jax(y)

@@ -298,11 +298,14 @@ def cacgmm_em_fc(y_re, y_im, affiliation, quadratic_form, *,
             the L1-normalized masked affiliation sum — reference
             estimate_mixture_weight semantics).
         source_activity_mask: optional (.., F, K, T) 0/1 gate.
-        first_e_step: start from the model in ``init_weight``
-            ((.., K) global or (.., F, K) per-bin), ``init_eigenvalues``
-            ((.., F, K, D), already normalized+floored) and
-            ``init_eigenvectors`` ((.., F, K, D, D) complex) with an
-            E-step (the resume-from-model path).
+        first_e_step: start from the model in ``init_weight`` ((K,)
+            global, or (B, K) / (1, K) for batched input — per-bin
+            weights are not a frequency-constant state; the caller
+            falls back to the scan path for those),
+            ``init_eigenvalues`` ((.., F, K, D), already
+            normalized+floored) and ``init_eigenvectors``
+            ((.., F, K, D, D) complex) with an E-step (the
+            resume-from-model path).
     Returns:
         (weight (.., K), eigenvalues (.., F, K, D), eigenvectors
         (.., F, K, D, D) complex64); eigenpairs sorted ascending.
