@@ -164,3 +164,17 @@ def test_integration_model_example_runs(capsys):
     for line in out.strip().splitlines():
         acc = float(line.split('accuracy')[1].split('(')[0])
         assert acc > 0.8, line
+
+
+@pytest.mark.slow
+def test_evaluation_example_runs(capsys):
+    examples = pathlib.Path(__file__).parent.parent / 'examples'
+    sys.path.insert(0, str(examples))
+    try:
+        import evaluation_example
+        evaluation_example.main(iterations=3, batch=2)
+    finally:
+        sys.path.remove(str(examples))
+    out = capsys.readouterr().out
+    assert 'SDR gain' in out
+    assert 'STOI' in out
