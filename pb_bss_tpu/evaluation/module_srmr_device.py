@@ -1,4 +1,5 @@
-"""Device-resident (JAX) SRMR.
+"""Device-resident (JAX) SRMR (reference anchor:
+pb_bss/evaluation/module_srmr.py:42-186).
 
 Same measure as :mod:`pb_bss_tpu.evaluation.module_srmr` (the host
 oracle, validated against SRMRpy goldens), restructured so the heavy
