@@ -295,6 +295,107 @@ def _fused_em_fc_eligible(y, num_classes, saliency,
     )
 
 
+def _stream_feasible(y, num_classes, saliency, source_activity_mask):
+    """Shape feasibility of the streamed long-T kernel
+    (ops/pallas_em_stream.py)."""
+    from ..ops.pallas_em_stream import choose_tiles
+    _, tiles_f = choose_tiles(
+        y.shape[-2], num_classes,
+        has_sal=saliency is not None,
+        has_mask=source_activity_mask is not None)
+    return y.ndim in (3, 4) and y.shape[-2] <= 16 and bool(tiles_f)
+
+
+def _fused_em_stream_eligible(y, num_classes, saliency,
+                              source_activity_mask, aligner,
+                              weight_constant_axis, hermitize,
+                              covariance_norm, model):
+    """Auto-route long signals to the streamed per-iteration kernel
+    when the VMEM-resident kernels cannot take them."""
+    per_bin = _fused_knobs(
+        aligner, weight_constant_axis, hermitize, covariance_norm)
+    fc = _fused_fc_knobs(
+        aligner, weight_constant_axis, hermitize, covariance_norm)
+    return (
+        jax.default_backend() != 'cpu'
+        and y.dtype == jnp.dtype(jnp.complex64)
+        and (per_bin or fc)
+        and (not fc or model is None
+             or _fc_init_weight(model, y.ndim) is not None)
+        and _stream_feasible(
+            y, num_classes, saliency, source_activity_mask)
+    )
+
+
+def _fit_fused_stream(y, model, affiliation, quadratic_form, *,
+                      iterations, eigenvalue_floor, affiliation_eps,
+                      eigh_sweeps, weight_mode, saliency=None,
+                      source_activity_mask=None,
+                      return_affiliation=False):
+    """Long-T fast path: one streamed Pallas E+stats pass per EM
+    iteration (grid over frequency tiles x time blocks, statistics
+    accumulated in VMEM, posterior never materialized), M-step finish
+    in XLA (ops/pallas_em_stream.py)."""
+    from ..ops.pallas_em_stream import cacgmm_em_long
+
+    rdtype = _real_dtype(y)
+    *independent, D, T = y.shape
+    K = (affiliation.shape[-2] if affiliation is not None
+         else model.weight.shape[-2])
+    if saliency is not None:
+        saliency = jnp.broadcast_to(
+            jnp.asarray(saliency, rdtype), (*independent, T))
+    if source_activity_mask is not None:
+        source_activity_mask = jnp.broadcast_to(
+            jnp.asarray(source_activity_mask, rdtype),
+            (*independent, K, T))
+    common = dict(
+        iterations=int(iterations),
+        sweeps=None if eigh_sweeps is None else int(eigh_sweeps),
+        eigenvalue_floor=float(eigenvalue_floor),
+        affiliation_eps=float(affiliation_eps),
+        weight_mode=weight_mode,
+        interpret=jax.default_backend() == 'cpu',
+        saliency=saliency,
+        source_activity_mask=source_activity_mask,
+    )
+    if model is not None:
+        if weight_mode == 'per_bin':
+            init_weight = jnp.broadcast_to(
+                jnp.asarray(model.weight)[..., 0], (*independent, K))
+        else:
+            init_weight = _fc_init_weight(model, y.ndim)
+        w, eigenvalues, eigenvectors = cacgmm_em_long(
+            y.real, y.imag, None, None, first_e_step=True,
+            init_weight=init_weight,
+            init_eigenvalues=model.cacg.covariance_eigenvalues,
+            init_eigenvectors=model.cacg.covariance_eigenvectors,
+            **common)
+    else:
+        w, eigenvalues, eigenvectors = cacgmm_em_long(
+            y.real, y.imag, affiliation, quadratic_form, **common)
+    if weight_mode == 'per_bin':
+        weight = w[..., None]                    # (.., F, K, 1)
+    else:
+        weight = w[..., None, :, None]           # estimate_mixture_weight shape
+    fitted = CACGMM(
+        weight=weight,
+        cacg=ComplexAngularCentralGaussian(
+            covariance_eigenvectors=eigenvectors,
+            covariance_eigenvalues=eigenvalues,
+        ),
+    )
+    if return_affiliation:
+        if source_activity_mask is None and T > T_BLOCK_AUTO:
+            affiliation = _predict_time_last_blocked(
+                fitted, y, t_block=T_BLOCK_AUTO)
+        else:
+            affiliation, _ = _predict_time_last_jit(
+                fitted, y, source_activity_mask)
+        return fitted, affiliation
+    return fitted
+
+
 def _fit_fused_fc(y, model, affiliation, quadratic_form, *, iterations,
                   eigenvalue_floor, affiliation_eps, eigh_sweeps,
                   saliency=None, source_activity_mask=None,
@@ -663,15 +764,20 @@ class CACGMMTrainer:
                 (``weight_constant_axis=(-3, -1)``) use the
                 per-iteration-fused kernels (ops/pallas_em_step.py —
                 same per-iteration cost, with the global weight as
-                one XLA reduction over bins that shards as a psum).
-                ``'auto'`` (default) enables the matching path on
-                non-CPU backends for c64 (F, N, D) inputs when the
-                knobs are supported — saliency and
-                source_activity_mask are handled natively; inline PA,
-                other weight axes, hermitize=False or a
-                non-eigenvalue covariance norm fall back to the scan
-                path. ``True`` forces it (interpreter mode on CPU,
-                slow — for tests); ``False`` keeps the scan path.
+                one XLA reduction over bins that shards as a psum);
+                signals too LONG for either (T beyond the VMEM
+                ceiling, ~600 frames at 6 channels) stream time
+                blocks through a per-iteration kernel
+                (ops/pallas_em_stream.py — 1.9-3x over the scan path
+                at T=2000-6000, measured). ``'auto'`` (default)
+                routes among them on non-CPU backends for c64
+                (F, N, D) inputs when the knobs are supported —
+                saliency and source_activity_mask are handled
+                natively; inline PA, other weight axes,
+                hermitize=False or a non-eigenvalue covariance norm
+                fall back to the scan path. ``True`` forces the
+                routing (interpreter mode on CPU, slow — for tests);
+                ``False`` keeps the scan path.
             eigh_sweeps: Jacobi sweeps for the per-iteration batched
                 eigendecomposition (default: dtype-dependent machine
                 precision, 6 for f32). The EM is self-correcting;
@@ -768,6 +874,9 @@ class CACGMMTrainer:
         fc_knobs = _fused_fc_knobs(
             inline_permutation_aligner, weight_constant_axis,
             hermitize, covariance_norm)
+        per_bin_knobs = _fused_knobs(
+            inline_permutation_aligner, weight_constant_axis,
+            hermitize, covariance_norm)
         if use_fused_em == 'auto':
             use_fused_em = not use_pallas_em and (
                 _fused_em_eligible(
@@ -777,33 +886,16 @@ class CACGMMTrainer:
                 or _fused_em_fc_eligible(
                     y, num_classes, saliency, source_activity_mask,
                     inline_permutation_aligner, weight_constant_axis,
+                    hermitize, covariance_norm, model)
+                or _fused_em_stream_eligible(
+                    y, num_classes, saliency, source_activity_mask,
+                    inline_permutation_aligner, weight_constant_axis,
                     hermitize, covariance_norm, model))
         if use_fused_em:
             assert y.ndim in (3, 4), (
                 'use_fused_em requires (F, N, D) or (B, F, N, D) '
                 'observations', y.shape)
-            if fc_knobs:
-                # frequency-constant weights: per-iteration-fused
-                # kernels + one XLA weight reduction over bins
-                assert model is None or _fc_init_weight(
-                    model, y.ndim) is not None, (
-                    'the fc-fused path needs a frequency-constant '
-                    'init weight', model.weight.shape)
-                return _fit_fused_fc(
-                    y, model, affiliation, quadratic_form,
-                    iterations=int(iterations),
-                    eigenvalue_floor=float(eigenvalue_floor),
-                    affiliation_eps=float(affiliation_eps),
-                    eigh_sweeps=(
-                        None if eigh_sweeps is None
-                        else int(eigh_sweeps)),
-                    saliency=saliency,
-                    source_activity_mask=source_activity_mask,
-                    return_affiliation=_return_affiliation,
-                )
-            assert _fused_knobs(
-                inline_permutation_aligner, weight_constant_axis,
-                hermitize, covariance_norm), (
+            assert per_bin_knobs or fc_knobs, (
                 'use_fused_em=True requires '
                 'inline_permutation_aligner=None, '
                 'weight_constant_axis=(-1,) or (-3, -1), '
@@ -811,8 +903,7 @@ class CACGMMTrainer:
                 f'{inline_permutation_aligner=}, '
                 f'{weight_constant_axis=}, {hermitize=}, '
                 f'{covariance_norm=}')
-            return _fit_fused(
-                y, model, affiliation, quadratic_form,
+            fused_kwargs = dict(
                 iterations=int(iterations),
                 eigenvalue_floor=float(eigenvalue_floor),
                 affiliation_eps=float(affiliation_eps),
@@ -822,6 +913,44 @@ class CACGMMTrainer:
                 source_activity_mask=source_activity_mask,
                 return_affiliation=_return_affiliation,
             )
+            from ..ops.pallas_em_loop import (
+                choose_tile_f as _whole_tiles,
+            )
+            from ..ops.pallas_em_step import (
+                choose_tile_f as _fc_tiles,
+            )
+            t_pad8 = -(-num_observations // 8) * 8
+            has_sal = saliency is not None
+            has_mask = source_activity_mask is not None
+            fc_init_ok = (model is None
+                          or _fc_init_weight(model, y.ndim) is not None)
+            if (per_bin_knobs and D <= 16 and bool(_whole_tiles(
+                    D, num_classes, t_pad8, has_sal=has_sal,
+                    has_mask=has_mask))):
+                # short T: the whole fit in one kernel launch
+                return _fit_fused(
+                    y, model, affiliation, quadratic_form,
+                    **fused_kwargs)
+            if (fc_knobs and D <= 16 and fc_init_ok
+                    and bool(_fc_tiles(
+                        D, num_classes, t_pad8, has_sal=has_sal,
+                        has_mask=has_mask))):
+                # frequency-constant weights: per-iteration-fused
+                # kernels + one XLA weight reduction over bins
+                return _fit_fused_fc(
+                    y, model, affiliation, quadratic_form,
+                    **fused_kwargs)
+            assert _stream_feasible(
+                y, num_classes, saliency, source_activity_mask) and (
+                per_bin_knobs or fc_init_ok), (
+                'no fused-kernel variant feasible for this shape',
+                y.shape)
+            # long T: streamed per-iteration kernel (grid over
+            # frequency tiles x time blocks)
+            return _fit_fused_stream(
+                y, model, affiliation, quadratic_form,
+                weight_mode='per_bin' if per_bin_knobs else 'fc',
+                **fused_kwargs)
 
         standard = _standard_knobs(
             saliency, source_activity_mask, inline_permutation_aligner,

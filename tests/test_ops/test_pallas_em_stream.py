@@ -1,0 +1,106 @@
+"""Streamed long-T EM kernels (ops/pallas_em_stream.py): parity with
+the scan path for signals beyond the whole-fit kernel's VMEM ceiling
+(interpret mode on CPU; compiled numbers from dev runs on chip).
+
+At D=3/K=2 the whole-fit kernel is feasible up to T ~1050, so T=1200
+forces the trainer's fused routing onto the streamed path.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from pb_bss_tpu.models.cacgmm import CACGMMTrainer
+
+F, D, T, K = 9, 3, 1200, 2
+
+
+def _mixture(seed=0, T=T):
+    rng = np.random.default_rng(seed)
+    atf = rng.standard_normal((F, D, 2)) + 1j * rng.standard_normal(
+        (F, D, 2))
+    s = rng.standard_normal((F, 2, T)) + 1j * rng.standard_normal(
+        (F, 2, T))
+    y = np.einsum('fdk,fkt->fdt', atf, s) + 0.3 * (
+        rng.standard_normal((F, D, T))
+        + 1j * rng.standard_normal((F, D, T)))
+    return jnp.asarray(
+        np.swapaxes(y, -2, -1).astype(np.complex64))  # (F, T, D)
+
+
+def _fit_pair(y, **kwargs):
+    trainer = CACGMMTrainer()
+    common = dict(num_classes=K, iterations=3, t_block=None, **kwargs)
+    m_stream = trainer.fit(y, use_fused_em=True, **common)
+    m_scan = trainer.fit(y, use_fused_em=False, **common)
+    return m_stream, m_scan
+
+
+def _assert_close(m_a, m_b, atol=2e-4):
+    assert m_a.weight.shape == m_b.weight.shape, (
+        m_a.weight.shape, m_b.weight.shape)
+    assert_allclose(np.asarray(m_a.weight, np.float64),
+                    np.asarray(m_b.weight, np.float64), atol=atol)
+    assert_allclose(
+        np.asarray(m_a.cacg.covariance_eigenvalues, np.float64),
+        np.asarray(m_b.cacg.covariance_eigenvalues, np.float64),
+        atol=atol)
+
+    def cov(m):
+        v = np.asarray(m.cacg.covariance_eigenvectors)
+        lam = np.asarray(m.cacg.covariance_eigenvalues)
+        return np.einsum('...de,...e,...ge->...dg', v, lam, v.conj())
+    assert_allclose(cov(m_a), cov(m_b), atol=10 * atol)
+
+
+@pytest.mark.slow
+def test_stream_per_bin_matches_scan():
+    m_stream, m_scan = _fit_pair(_mixture())
+    assert m_stream.weight.shape == (F, K, 1)
+    _assert_close(m_stream, m_scan)
+
+
+@pytest.mark.slow
+def test_stream_fc_matches_scan():
+    m_stream, m_scan = _fit_pair(
+        _mixture(seed=1), weight_constant_axis=(-3, -1))
+    assert m_stream.weight.shape == (1, K, 1)
+    _assert_close(m_stream, m_scan)
+
+
+@pytest.mark.slow
+def test_stream_saliency_and_mask():
+    rng = np.random.default_rng(2)
+    y = _mixture(seed=2)
+    saliency = jnp.asarray(
+        rng.uniform(0.2, 1.0, size=(F, T)).astype(np.float32))
+    sam = rng.uniform(size=(F, K, T)) > 0.2
+    sam[..., 0, :] |= ~sam.any(-2)
+    m_stream, m_scan = _fit_pair(
+        y, saliency=saliency, source_activity_mask=jnp.asarray(sam))
+    _assert_close(m_stream, m_scan)
+
+
+@pytest.mark.slow
+def test_stream_resume_from_model():
+    y = _mixture(seed=3)
+    trainer = CACGMMTrainer()
+    m0 = trainer.fit(y, num_classes=K, iterations=2,
+                     use_fused_em=False, t_block=None)
+    m_stream = trainer.fit(y, initialization=m0, iterations=2,
+                           use_fused_em=True, t_block=None)
+    m_scan = trainer.fit(y, initialization=m0, iterations=2,
+                         use_fused_em=False, t_block=None)
+    _assert_close(m_stream, m_scan)
+
+
+@pytest.mark.slow
+def test_stream_fit_predict():
+    y = _mixture(seed=4)
+    trainer = CACGMMTrainer()
+    aff = trainer.fit_predict(y, num_classes=K, iterations=2,
+                              use_fused_em=True, t_block=None)
+    model = trainer.fit(y, num_classes=K, iterations=2,
+                        use_fused_em=True, t_block=None)
+    assert_allclose(np.asarray(aff),
+                    np.asarray(model.predict(y)), atol=1e-5)
