@@ -403,6 +403,41 @@ def bench_extras():
     except Exception as e:  # pragma: no cover
         lines.append(f'fc config failed: {type(e).__name__}: {e}')
 
+    # config 3d: LONG-signal EM (r4) — streamed per-iteration kernel
+    # vs the scan path at T=4000 (beyond the whole-fit VMEM ceiling)
+    try:
+        from pb_bss_tpu.models.cacgmm import CACGMMTrainer
+        Tlong, iters_long = 4000, 10
+        rngl = np.random.default_rng(15)
+        yl = (rngl.standard_normal((F, Tlong, D))
+              + 1j * rngl.standard_normal((F, Tlong, D)))
+        yl /= np.linalg.norm(yl, axis=-1, keepdims=True)
+        inputs = [
+            (jnp.asarray(yl.real + 1e-3 * rngl.standard_normal(
+                yl.shape), jnp.float32),
+             jnp.asarray(yl.imag, jnp.float32))
+            for _ in range(2)
+        ]
+        _ = np.asarray(fetch(sum(a.sum() + b.sum() for a, b in inputs)))
+
+        def long_fit(fused):
+            @jax.jit
+            def f(y_re, y_im):
+                m = CACGMMTrainer().fit(
+                    y_re + 1j * y_im, num_classes=K,
+                    iterations=iters_long, use_fused_em=fused,
+                    t_block=None)
+                return jnp.sum(m.cacg.covariance_eigenvalues)
+            return f
+        dt_stream = timed(long_fit(True), inputs) / iters_long
+        dt_scan = timed(long_fit(False), inputs) / iters_long
+        lines.append(
+            f'long-T EM (T={Tlong}): streamed {dt_stream * 1e3:.2f} '
+            f'ms/iter vs scan {dt_scan * 1e3:.2f} ms/iter '
+            f'({dt_scan / dt_stream:.1f}x)')
+    except Exception as e:  # pragma: no cover
+        lines.append(f'long-T config failed: {type(e).__name__}: {e}')
+
     # config 4: batched 3-speaker separation incl. 513-bin PA
     try:
         from pb_bss_tpu.pipeline import separate_batch
