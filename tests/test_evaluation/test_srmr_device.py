@@ -70,6 +70,18 @@ def test_single_signal_entry():
     assert abs(srmr_device(x, sr) - srmr(x, sr)) < 2e-3 * srmr(x, sr)
 
 
+@pytest.mark.slow
+def test_long_bucket_shrinks_chunk():
+    """Long signals shrink the device chunk (memory guard) without
+    changing results."""
+    sr = 8000
+    xs = np.stack([_speechlike(s, 12 * sr, sr) for s in range(3)])
+    out = srmr_batch(xs, sr)
+    assert out.shape == (3,)
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out[0], srmr(xs[0], sr), rtol=2e-3)
+
+
 def test_too_short_yields_nan():
     """The host warns and yields NaN when the spliced signal is
     shorter than one analysis frame; the device path matches."""

@@ -61,6 +61,14 @@ def test_stream_per_bin_matches_scan():
 
 
 @pytest.mark.slow
+def test_stream_exact_tile_multiple():
+    """T an exact multiple of the 512-frame time block: no time
+    padding, the t-mask degenerates to all-ones."""
+    m_stream, m_scan = _fit_pair(_mixture(seed=5, T=1536))
+    _assert_close(m_stream, m_scan)
+
+
+@pytest.mark.slow
 def test_stream_fc_matches_scan():
     m_stream, m_scan = _fit_pair(
         _mixture(seed=1), weight_constant_axis=(-3, -1))
