@@ -237,13 +237,17 @@ def _fused_knobs(aligner, weight_constant_axis, hermitize,
 
 
 def _fused_fc_knobs(aligner, weight_constant_axis, hermitize,
-                    covariance_norm):
+                    covariance_norm, *, allow_aligner=False):
     """Knobs of the FREQUENCY-CONSTANT-weight fused path
     (ops/pallas_em_step.py): each iteration is one kernel pass plus
     one XLA weight reduction over the bin axis (a psum under a
-    sharded 'f' mesh axis)."""
+    sharded 'f' mesh axis). Since r5 the per-iteration architecture
+    also hosts the inline permutation aligner (``allow_aligner``,
+    unbatched only — the kernel emits the posterior, the mapping
+    permutes the per-class state between kernel calls); the streamed
+    long-T variant does not."""
     return (
-        aligner is None
+        (aligner is None or allow_aligner)
         and weight_constant_axis in ((-3, -1), (-1, -3))
         and hermitize
         and covariance_norm == 'eigenvalue'
@@ -278,7 +282,8 @@ def _fused_em_fc_eligible(y, num_classes, saliency,
                           covariance_norm, model):
     """Route the fit to the per-iteration-fused fc-EM
     (ops/pallas_em_step.py)? Same runtime gates as the whole-fit
-    kernel, plus a model init must carry a frequency-constant weight."""
+    kernel, plus a model init must carry a frequency-constant weight.
+    An inline aligner is hosted too (unbatched input only)."""
     from ..ops.pallas_em_step import choose_tile_f
     return (
         jax.default_backend() != 'cpu'
@@ -286,12 +291,14 @@ def _fused_em_fc_eligible(y, num_classes, saliency,
         and y.dtype == jnp.dtype(jnp.complex64)
         and y.shape[-2] <= 16
         and _fused_fc_knobs(
-            aligner, weight_constant_axis, hermitize, covariance_norm)
+            aligner, weight_constant_axis, hermitize, covariance_norm,
+            allow_aligner=y.ndim == 3)
         and (model is None or _fc_init_weight(model, y.ndim) is not None)
         and bool(choose_tile_f(
             y.shape[-2], num_classes, -(-y.shape[-1] // 8) * 8,
             has_sal=saliency is not None,
-            has_mask=source_activity_mask is not None))
+            has_mask=source_activity_mask is not None,
+            has_aligner=aligner is not None))
     )
 
 
@@ -399,11 +406,13 @@ def _fit_fused_stream(y, model, affiliation, quadratic_form, *,
 def _fit_fused_fc(y, model, affiliation, quadratic_form, *, iterations,
                   eigenvalue_floor, affiliation_eps, eigh_sweeps,
                   saliency=None, source_activity_mask=None,
-                  return_affiliation=False):
+                  return_affiliation=False, aligner=None):
     """Frequency-constant-weight fast path: one fused Pallas pass per
     EM iteration (E-step + M-statistics + warm in-kernel Jacobi), with
     the global weight finished by one XLA reduction over bins between
-    kernel calls (ops/pallas_em_step.py)."""
+    kernel calls (ops/pallas_em_step.py). An inline permutation
+    aligner runs between kernel calls on the emitted posterior
+    (reference cacgmm.py:260-267 semantics)."""
     from ..ops.pallas_em_step import cacgmm_em_fc
 
     D = y.shape[-2]
@@ -427,6 +436,7 @@ def _fit_fused_fc(y, model, affiliation, quadratic_form, *, iterations,
         affiliation_eps=float(affiliation_eps),
         interpret=jax.default_backend() == 'cpu',
         saliency=saliency, source_activity_mask=source_activity_mask,
+        aligner=aligner,
     )
     if model is not None:
         w, eigenvalues, eigenvectors = cacgmm_em_fc(
@@ -707,6 +717,16 @@ def _fit_em(y, model, affiliation, quadratic_form, saliency,
     if n_steps > 0:
         def step(model, _):
             return e_then_m(model), None
+        if first_e_step:
+            # A resume model may carry broadcast (size-1 or absent)
+            # leading dims relative to y (reference cacgmm.py:229-236
+            # accepts any broadcastable model); the scan carry must
+            # already have the shapes one EM step produces.
+            target = jax.eval_shape(e_then_m, model)
+            model = jax.tree_util.tree_map(
+                lambda x, s: jnp.broadcast_to(
+                    jnp.asarray(x, s.dtype), s.shape),
+                model, target)
         model, _ = lax.scan(step, model, None, length=n_steps)
     return model
 
@@ -873,7 +893,7 @@ class CACGMMTrainer:
 
         fc_knobs = _fused_fc_knobs(
             inline_permutation_aligner, weight_constant_axis,
-            hermitize, covariance_norm)
+            hermitize, covariance_norm, allow_aligner=y.ndim == 3)
         per_bin_knobs = _fused_knobs(
             inline_permutation_aligner, weight_constant_axis,
             hermitize, covariance_norm)
@@ -896,10 +916,11 @@ class CACGMMTrainer:
                 'use_fused_em requires (F, N, D) or (B, F, N, D) '
                 'observations', y.shape)
             assert per_bin_knobs or fc_knobs, (
-                'use_fused_em=True requires '
-                'inline_permutation_aligner=None, '
-                'weight_constant_axis=(-1,) or (-3, -1), '
-                "hermitize=True and covariance_norm='eigenvalue'; got "
+                'use_fused_em=True requires weight_constant_axis='
+                '(-1,) or (-3, -1), hermitize=True and '
+                "covariance_norm='eigenvalue' (an inline aligner is "
+                'supported only with (-3, -1) and unbatched (F, N, D) '
+                'input); got '
                 f'{inline_permutation_aligner=}, '
                 f'{weight_constant_axis=}, {hermitize=}, '
                 f'{covariance_norm=}')
@@ -934,15 +955,20 @@ class CACGMMTrainer:
             if (fc_knobs and D <= 16 and fc_init_ok
                     and bool(_fc_tiles(
                         D, num_classes, t_pad8, has_sal=has_sal,
-                        has_mask=has_mask))):
+                        has_mask=has_mask,
+                        has_aligner=(
+                            inline_permutation_aligner is not None)))):
                 # frequency-constant weights: per-iteration-fused
-                # kernels + one XLA weight reduction over bins
+                # kernels + one XLA weight reduction over bins (and
+                # the inline aligner between kernel calls, if any)
                 return _fit_fused_fc(
                     y, model, affiliation, quadratic_form,
+                    aligner=inline_permutation_aligner,
                     **fused_kwargs)
-            assert _stream_feasible(
-                y, num_classes, saliency, source_activity_mask) and (
-                per_bin_knobs or fc_init_ok), (
+            assert (_stream_feasible(
+                y, num_classes, saliency, source_activity_mask)
+                and (per_bin_knobs or fc_init_ok)
+                and inline_permutation_aligner is None), (
                 'no fused-kernel variant feasible for this shape',
                 y.shape)
             # long T: streamed per-iteration kernel (grid over

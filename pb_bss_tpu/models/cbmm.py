@@ -69,24 +69,6 @@ def _fused_cbmm_knobs_ok(aligner, weight_constant_axis):
     )
 
 
-def _fused_cbmm_eligible(y, saliency, aligner, weight_constant_axis,
-                         num_classes):
-    """Route the fit to the single-kernel Pallas CBMM EM loop
-    (ops/pallas_cbmm_loop.py)? Non-CPU backend, c64 (F, N, D)
-    observations, supported knobs only."""
-    from ..ops.pallas_cbmm_loop import choose_tile_f_cbmm
-    return (
-        jax.default_backend() != 'cpu'
-        and y.ndim in (3, 4)
-        and y.dtype == jnp.dtype(jnp.complex64)
-        and 2 <= y.shape[-1] <= 8
-        and _fused_cbmm_knobs_ok(aligner, weight_constant_axis)
-        and bool(choose_tile_f_cbmm(
-            y.shape[-1], num_classes, -(-y.shape[-2] // 8) * 8,
-            has_sal=saliency is not None))
-    )
-
-
 def _fit_fused_cbmm(y, affiliation, *, iterations, affiliation_eps,
                     spacing_eps, saliency=None,
                     max_concentration=np.inf,
@@ -207,13 +189,34 @@ class CBMMTrainer:
         if isinstance(weight_constant_axis, list):
             weight_constant_axis = tuple(weight_constant_axis)
 
+        from ..ops.pallas_cbmm_loop import choose_tile_f_cbmm
+        from ..ops.pallas_mm_stream import choose_tiles_mm
+
+        def _whole_fit_feasible():
+            return bool(choose_tile_f_cbmm(
+                y.shape[-1], initialization.shape[-2],
+                -(-y.shape[-2] // 8) * 8,
+                has_sal=user_saliency is not None))
+
+        def _stream_feasible():
+            return bool(choose_tiles_mm(
+                y.shape[-1], initialization.shape[-2],
+                family='bingham',
+                has_sal=user_saliency is not None)[1])
+
         if use_fused_em == 'auto':
-            use_fused_em = _fused_cbmm_eligible(
-                y, user_saliency, inline_permutation_aligner,
-                weight_constant_axis, initialization.shape[-2])
+            use_fused_em = (
+                jax.default_backend() != 'cpu'
+                and y.ndim in (3, 4)
+                and y.dtype == jnp.dtype(jnp.complex64)
+                and 2 <= y.shape[-1] <= 8
+                and _fused_cbmm_knobs_ok(
+                    inline_permutation_aligner, weight_constant_axis)
+                and (_whole_fit_feasible() or _stream_feasible())
+            )
         if use_fused_em:
-            # The kernel implements only the supported knobs — forcing
-            # it with unsupported ones would silently fit a different
+            # The kernels implement only the supported knobs — forcing
+            # them with unsupported ones would silently fit a different
             # model (no inline PA, no shared weight axes).
             assert _fused_cbmm_knobs_ok(
                 inline_permutation_aligner, weight_constant_axis), (
@@ -223,17 +226,53 @@ class CBMMTrainer:
                 f'{inline_permutation_aligner=}, '
                 f'{weight_constant_axis=}'
             )
-            return _fit_fused_cbmm(
-                y, initialization,
+            if _whole_fit_feasible():
+                return _fit_fused_cbmm(
+                    y, initialization,
+                    iterations=int(iterations),
+                    affiliation_eps=float(affiliation_eps),
+                    # the reference's 1e-8 spacing is sub-ulp at f32
+                    # concentration scale; the kernel needs >= 1e-3
+                    spacing_eps=max(float(self.eigenvalue_eps), 1e-3),
+                    saliency=user_saliency,
+                    max_concentration=self.max_concentration,
+                    return_affiliation=_return_affiliation,
+                )
+            # long T: streamed per-iteration kernel (frequency tiles
+            # x time blocks; ops/pallas_mm_stream.py). The M finish
+            # (eigh + warm chord-Newton moment inversion) is the scan
+            # path's own XLA code, so parity is with the scan path.
+            from ..ops.pallas_mm_stream import cbmm_em_long
+            y_t = jnp.swapaxes(y, -2, -1)  # (..., D, T) planes
+            fused_saliency = user_saliency
+            if fused_saliency is not None:
+                fused_saliency = jnp.broadcast_to(
+                    jnp.asarray(fused_saliency, jnp.float32),
+                    (*y.shape[:-2], y.shape[-2]))
+            weight, eigenvalues, vectors = cbmm_em_long(
+                y_t.real, y_t.imag,
+                jnp.asarray(initialization, jnp.float32),
                 iterations=int(iterations),
+                max_concentration=(
+                    float(self.max_concentration)
+                    if np.isfinite(self.max_concentration)
+                    else np.inf),
+                spacing_eps=(None if self.eigenvalue_eps is None
+                             else float(self.eigenvalue_eps)),
                 affiliation_eps=float(affiliation_eps),
-                # the reference's 1e-8 spacing is sub-ulp at f32
-                # concentration scale; the kernel needs >= 1e-3
-                spacing_eps=max(float(self.eigenvalue_eps), 1e-3),
-                saliency=user_saliency,
-                max_concentration=self.max_concentration,
-                return_affiliation=_return_affiliation,
+                interpret=jax.default_backend() == 'cpu',
+                saliency=fused_saliency,
             )
+            fitted = CBMM(
+                weight=weight[..., None],
+                complex_bingham=ComplexBingham(
+                    covariance_eigenvectors=vectors,
+                    covariance_eigenvalues=eigenvalues,
+                ),
+            )
+            if _return_affiliation:
+                return fitted, fitted._predict(y, affiliation_eps=0.)
+            return fitted
 
         fitted = _cbmm_fit_em(
             y, initialization, saliency,

@@ -142,40 +142,78 @@ class CWMMTrainer:
             weight_constant_axis = tuple(weight_constant_axis)
         assert affiliation_eps == 0, affiliation_eps
 
+        from ..ops.pallas_cwmm_loop import choose_tile_f_cwmm
+        from ..ops.pallas_mm_stream import choose_tiles_mm
+
+        def _whole_fit_feasible():
+            return bool(choose_tile_f_cwmm(
+                y.shape[-1], initialization.shape[-2],
+                -(-y.shape[-2] // 8) * 8,
+                has_sal=saliency is not None))
+
+        def _stream_feasible():
+            return bool(choose_tiles_mm(
+                y.shape[-1], initialization.shape[-2],
+                family='watson', has_sal=saliency is not None)[1])
+
         if use_fused_em == 'auto':
-            from .cacgmm import _fused_em_eligible
-            num_k = initialization.shape[-2]
-            use_fused_em = _fused_em_eligible(
-                jnp.swapaxes(y, -2, -1), num_k, saliency, None, None,
-                weight_constant_axis, True, 'eigenvalue')
+            use_fused_em = (
+                jax.default_backend() != 'cpu'
+                and y.ndim in (3, 4)
+                and y.dtype == jnp.dtype(jnp.complex64)
+                and y.shape[-1] <= 16
+                and inline_permutation_aligner is None
+                and weight_constant_axis in ((-1,), -1)
+                and (_whole_fit_feasible() or _stream_feasible())
+            )
         if use_fused_em:
             assert y.ndim in (3, 4)
             assert inline_permutation_aligner is None
             assert weight_constant_axis in ((-1,), -1)
-            from ..ops.pallas_cwmm_loop import cwmm_em_full
             y_dt = jnp.swapaxes(y, -2, -1)  # (F, D, T)
             fused_saliency = saliency
             if fused_saliency is not None:
                 fused_saliency = jnp.broadcast_to(
                     jnp.asarray(fused_saliency, _real_dtype(y)),
                     (*y.shape[:-2], y.shape[-2]))
-            weight, mode, concentration, affiliation = cwmm_em_full(
-                y_dt.real, y_dt.imag,
-                jnp.asarray(initialization, jnp.float32),
-                iterations=int(iterations),
-                # warm-started Jacobi (see pallas_em_loop): 2 sweeps
-                # from the previous eigenbasis, first iteration cold
-                warm_sweeps=2,
-                max_concentration=float(self.max_concentration),
-                interpret=jax.default_backend() == 'cpu',
-                saliency=fused_saliency,
-            )
+            if _whole_fit_feasible():
+                from ..ops.pallas_cwmm_loop import cwmm_em_full
+                weight, mode, concentration, affiliation = cwmm_em_full(
+                    y_dt.real, y_dt.imag,
+                    jnp.asarray(initialization, jnp.float32),
+                    iterations=int(iterations),
+                    # warm-started Jacobi (see pallas_em_loop): 2
+                    # sweeps from the previous eigenbasis, first
+                    # iteration cold
+                    warm_sweeps=2,
+                    max_concentration=float(self.max_concentration),
+                    interpret=jax.default_backend() == 'cpu',
+                    saliency=fused_saliency,
+                )
+            else:
+                # long T: streamed per-iteration kernel (frequency
+                # tiles x time blocks; ops/pallas_mm_stream.py). Its
+                # concentration inverse is the scan path's log-spaced
+                # interp table, so parity is with the scan path.
+                from ..ops.pallas_mm_stream import cwmm_em_long
+                weight, mode, concentration = cwmm_em_long(
+                    y_dt.real, y_dt.imag,
+                    jnp.asarray(initialization, jnp.float32),
+                    iterations=int(iterations),
+                    max_concentration=float(self.max_concentration),
+                    spline_markers=int(self.spline_markers),
+                    interpret=jax.default_backend() == 'cpu',
+                    saliency=fused_saliency,
+                )
+                affiliation = None
             model = CWMM(
                 weight=weight[..., None],
                 complex_watson=ComplexWatson(
                     mode=mode, concentration=concentration),
             )
             if _return_affiliation:
+                if affiliation is None:
+                    affiliation = _cwmm_predict_jit(model, y)
                 return model, affiliation
             return model
 

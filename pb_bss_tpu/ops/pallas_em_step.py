@@ -55,17 +55,19 @@ _TINY = float(np.finfo(np.float32).tiny)
 
 
 def choose_tile_f(d, k, t_pad, *, has_sal=False, has_mask=False,
-                  vmem_budget=12 * 2 ** 20):
+                  has_aligner=False, vmem_budget=12 * 2 ** 20):
     """Feasible lane-tile widths for the step kernel (the larger of
     the two). Pallas double-buffers in/out blocks across grid steps
-    (count 2x); scratch counts once."""
+    (count 2x); scratch counts once. ``has_aligner`` adds the
+    double-buffered posterior output block of the emit_aff mode."""
     per_lane = 4 * (
         2 * (2 * d * t_pad                      # y planes in
              + 2 * d * d * k + d * k + 2 * k    # V, inv, logdet, w in
              + (t_pad if has_sal else 0)
              + (k * t_pad if has_mask else 0)
              + 2 * k * t_pad)                   # aff/qf in (init kernel)
-        + 2 * (2 * d * d * k + d * k + k)       # V, eig, asum out
+        + 2 * (2 * d * d * k + d * k + k       # V, eig, asum out
+               + (k * t_pad if has_aligner else 0))  # posterior out
         + (2 * k * t_pad + 4 * d * d * k)       # aff/qf + jacobi scratch
     )
     return [tf for tf in (512, 256, 128)
@@ -160,9 +162,11 @@ def _m_init_kernel(*refs, d, k, sweeps, t_real, f_real, tile_f,
 
 def _em_step_kernel(*refs, d, k, warm_sweeps, t_real, f_real, tile_f,
                     eigenvalue_floor, affiliation_eps, tiny,
-                    has_sal=False, has_mask=False):
+                    has_sal=False, has_mask=False, emit_aff=False):
     """One EM iteration: E-step from the previous model (global weight
-    lane-broadcast), M-step scatter, warm-started Jacobi."""
+    lane-broadcast), M-step scatter, warm-started Jacobi. With
+    ``emit_aff`` the E-step posterior is additionally written out
+    (K, T', F') — the inline permutation aligner needs it."""
     it = iter(refs)
     y_re_ref, y_im_ref, vre_in, vim_in, inv_ref, logdet_ref, \
         weight_ref = (next(it), next(it), next(it), next(it),
@@ -171,6 +175,7 @@ def _em_step_kernel(*refs, d, k, warm_sweeps, t_real, f_real, tile_f,
     sam_ref = next(it) if has_mask else None
     vre_ref, vim_ref, eig_ref, asum_ref = (
         next(it), next(it), next(it), next(it))
+    aff_ref = next(it) if emit_aff else None
     ar, ai, br, bi = next(it), next(it), next(it), next(it)
 
     t_pad = y_re_ref.shape[1]
@@ -247,6 +252,10 @@ def _em_step_kernel(*refs, d, k, warm_sweeps, t_real, f_real, tile_f,
             a = jnp.clip(a, affiliation_eps, 1 - affiliation_eps)
         if t_mask is not None:
             a = a * t_mask
+        if emit_aff:
+            # the aligner sees the posterior the scan path's
+            # model._predict returns: clipped, pre-saliency
+            aff_ref[kk] = a
         if has_sal:
             a = a * sal
         aff.append(a)
@@ -275,14 +284,14 @@ def _stage(x, t_pad, f_pad, constant_values=0.0):
     jax.jit,
     static_argnames=('iterations', 'sweeps', 'warm_sweeps',
                      'eigenvalue_floor', 'affiliation_eps', 'tile_f',
-                     'interpret', 'first_e_step'))
+                     'interpret', 'first_e_step', 'aligner'))
 def cacgmm_em_fc(y_re, y_im, affiliation, quadratic_form, *,
                  iterations, sweeps=6, warm_sweeps=2,
                  eigenvalue_floor=1e-10, affiliation_eps=1e-10,
                  tile_f=None, interpret=False, saliency=None,
                  source_activity_mask=None, first_e_step=False,
                  init_weight=None, init_eigenvalues=None,
-                 init_eigenvectors=None):
+                 init_eigenvectors=None, aligner=None):
     """cACGMM EM with FREQUENCY-CONSTANT mixture weights
     (``weight_constant_axis=(-3, -1)``), per-iteration fused.
 
@@ -320,6 +329,9 @@ def cacgmm_em_fc(y_re, y_im, affiliation, quadratic_form, *,
          else init_eigenvalues.shape[-2])
     has_sal = saliency is not None
     has_mask = source_activity_mask is not None
+    assert aligner is None or not batched, (
+        'the inline permutation aligner needs the real frequency '
+        'axis — fold the batch yourself or use per-utterance calls')
 
     fold = lambda x: (x.reshape((B * F,) + x.shape[2:])
                       if batched and x is not None else x)
@@ -333,7 +345,8 @@ def cacgmm_em_fc(y_re, y_im, affiliation, quadratic_form, *,
     t_pad = -(-T // 8) * 8
     if tile_f is None:
         candidates = choose_tile_f(
-            D, K, t_pad, has_sal=has_sal, has_mask=has_mask)
+            D, K, t_pad, has_sal=has_sal, has_mask=has_mask,
+            has_aligner=aligner is not None)
         if not candidates:
             raise ValueError(
                 f'signal too long for the fused fc-EM kernels '
@@ -440,6 +453,11 @@ def cacgmm_em_fc(y_re, y_im, affiliation, quadratic_form, *,
             vec.imag.astype(rdtype), (2, 3, 1, 0)),
             ((0, 0),) * 3 + ((0, f_pad - FB),))
         w = init_weight.astype(rdtype)
+        if batched:
+            # A (1, K) weight ('broadcast over B', _fc_init_weight)
+            # must widen now: the scan carry below must match
+            # weight_from_asum's (B, K) output type.
+            w = jnp.broadcast_to(w, (B, K))
         n_steps = iterations
 
     step_kernel = functools.partial(
@@ -447,7 +465,8 @@ def cacgmm_em_fc(y_re, y_im, affiliation, quadratic_form, *,
         f_real=FB, tile_f=tile_f,
         eigenvalue_floor=float(eigenvalue_floor),
         affiliation_eps=float(affiliation_eps), tiny=_TINY,
-        has_sal=has_sal, has_mask=has_mask)
+        has_sal=has_sal, has_mask=has_mask,
+        emit_aff=aligner is not None)
     step_in_specs = y_specs + state_specs[:3] + [
         pl.BlockSpec((K, tile_f), lambda i: (0, i)),   # logdet
         pl.BlockSpec((K, tile_f), lambda i: (0, i)),   # weight
@@ -459,13 +478,47 @@ def cacgmm_em_fc(y_re, y_im, affiliation, quadratic_form, *,
 
     extra = ([sal_s] if has_sal else []) + ([sam_s] if has_mask else [])
 
+    step_out_specs = list(state_specs)
+    step_out_shapes = list(state_shapes)
+    if aligner is not None:
+        step_out_specs.append(
+            pl.BlockSpec((K, t_pad, tile_f), lambda i: (0, 0, i)))
+        step_out_shapes.append(
+            jax.ShapeDtypeStruct((K, t_pad, f_pad), rdtype))
+
+    def align_state(vre, vim, eig, asum, aff):
+        """Inline permutation alignment, applied to the per-class
+        STATE instead of the posterior: the M-statistics are linear
+        in the affiliations per class and the eigendecomposition
+        commutes with class relabeling, so permuting the kernel's
+        outputs with the mapping computed from the emitted posterior
+        is exactly the scan path's align-then-M
+        (mixture_model_utils.apply_inline_permutation_alignment;
+        reference cacgmm.py:260-267)."""
+        a_kft = jnp.transpose(aff[:, :T, :FB], (0, 2, 1))  # (K, F, T)
+        mapping = aligner.calculate_mapping(a_kft)          # (K, F)
+        # identity mapping on padding lanes keeps their state inert
+        id_map = jnp.broadcast_to(
+            jnp.arange(K, dtype=mapping.dtype)[:, None],
+            (K, f_pad - FB))
+        mapping = jnp.concatenate([mapping, id_map], axis=1)
+        # aligned[k, f] = x[mapping[k, f], f] as a one-hot einsum
+        # (TPU gathers lower to slow dynamic slices)
+        perm = (mapping[..., None] == jnp.arange(K)).astype(rdtype)
+        return (
+            jnp.einsum('kfj,abjf->abkf', perm, vre),
+            jnp.einsum('kfj,abjf->abkf', perm, vim),
+            jnp.einsum('kfj,djf->dkf', perm, eig),
+            jnp.einsum('kfj,jf->kf', perm, asum),
+        )
+
     def step(carry, _):
         vre, vim, eig, w = carry
         inv = 1.0 / eig                                   # (D, K, f_pad)
         logdet = jnp.sum(jnp.log(eig), axis=0)            # (K, f_pad)
-        vre2, vim2, eig2, asum = pl.pallas_call(
+        out = pl.pallas_call(
             step_kernel, grid=grid, in_specs=step_in_specs,
-            out_specs=state_specs, out_shape=state_shapes,
+            out_specs=step_out_specs, out_shape=step_out_shapes,
             scratch_shapes=[
                 pltpu.VMEM((D, D, K, tile_f), rdtype),
                 pltpu.VMEM((D, D, K, tile_f), rdtype),
@@ -475,6 +528,12 @@ def cacgmm_em_fc(y_re, y_im, affiliation, quadratic_form, *,
             interpret=interpret,
         )(y_re_s, y_im_s, vre, vim, inv, logdet, weight_planes(w),
           *extra)
+        if aligner is not None:
+            vre2, vim2, eig2, asum, aff = out
+            vre2, vim2, eig2, asum = align_state(
+                vre2, vim2, eig2, asum, aff)
+        else:
+            vre2, vim2, eig2, asum = out
         return (vre2, vim2, eig2, weight_from_asum(asum)), None
 
     if n_steps > 0:

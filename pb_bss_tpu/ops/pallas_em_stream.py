@@ -52,14 +52,20 @@ def choose_tiles(d, k, *, has_sal=False, has_mask=False,
     small enough to leave lanes) and take the widest feasible lane
     tile. Blocks double-buffer (count 2x)."""
     tile_t = 512
-    per_lane = 4 * (
+    common = (
         2 * (2 * d * tile_t                       # y blocks
              + (tile_t if has_sal else 0)
-             + (k * tile_t if has_mask else 0)
-             + 2 * d * d * k + d * k + 2 * k)     # V, inv, logdet, w
+             + (k * tile_t if has_mask else 0))
         + 2 * (2 * d * d * k + k)                 # scatter + asum out
         + 2 * k * tile_t                          # aff/qf live values
     )
+    # the two launch layouts differ in their remaining inputs: the
+    # per-iteration pass streams the model planes, the from_init pass
+    # streams aff0/qf0 as (K, tile_t, tile_f) blocks — size against
+    # the worse of the two
+    step_in = 2 * (2 * d * d * k + d * k + 2 * k)  # V, inv, logdet, w
+    init_in = 2 * (2 * k * tile_t)                 # aff0 + qf0 blocks
+    per_lane = 4 * (common + max(step_in, init_in))
     tiles_f = [tf for tf in (512, 256, 128)
                if tf * per_lane <= vmem_budget]
     return (tile_t, tiles_f)
@@ -409,8 +415,14 @@ def cacgmm_em_long(y_re, y_im, affiliation, quadratic_form, *,
         assert init_weight is not None
         eigenvalues = fold(init_eigenvalues)
         eigenvectors = fold(init_eigenvectors)
-        weight = (fold(init_weight) if weight_mode == 'per_bin'
-                  else init_weight)
+        if weight_mode == 'per_bin':
+            weight = fold(init_weight)
+        elif batched:
+            # widen a (1, K) 'broadcast over B' weight now: the scan
+            # carry must match weight_of's (B, K) output type
+            weight = jnp.broadcast_to(init_weight, (B, K))
+        else:
+            weight = init_weight
         n_steps = iterations
 
     step_in_specs = y_specs + model_specs + extra_specs

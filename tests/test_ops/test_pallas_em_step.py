@@ -132,6 +132,74 @@ def test_fc_batched_matches_per_example():
 
 
 @pytest.mark.slow
+def test_fc_batched_resume_from_broadcast_weight():
+    """Regression: a batched resume from a model whose weight is
+    broadcast over the batch ((1, K) out of ``_fc_init_weight``) used
+    to start the scan carry as (1, K) against the (B, K) carry output
+    (TypeError in lax.scan)."""
+    from pb_bss_tpu.models.cacgmm import CACGMM
+
+    ys = [np.asarray(_mixture(seed=s, F=11, T=32)) for s in (7, 8)]
+    yb = jnp.asarray(np.stack(ys))
+    rng = np.random.default_rng(41)
+    aff0 = rng.uniform(size=(2, 11, 3, 32)).astype(np.float32)
+    aff0 /= aff0.sum(-2, keepdims=True)
+    trainer = CACGMMTrainer()
+    m0 = trainer.fit(yb, initialization=jnp.asarray(aff0),
+                     iterations=2, weight_constant_axis=WCA,
+                     use_fused_em=False)
+    assert m0.weight.shape == (2, 1, 3, 1)
+    # shared global weight, still batched eigenpairs: the weight
+    # broadcasts over B (reference cacgmm.py:186-200 broadcast rules)
+    m_shared = CACGMM(weight=jnp.mean(m0.weight, axis=0),
+                      cacg=m0.cacg)
+    assert m_shared.weight.shape == (1, 3, 1)
+    m_fc = trainer.fit(yb, initialization=m_shared, iterations=2,
+                       weight_constant_axis=WCA, use_fused_em=True)
+    m_scan = trainer.fit(yb, initialization=m_shared, iterations=2,
+                         weight_constant_axis=WCA, use_fused_em=False)
+    _assert_models_close(m_fc, m_scan)
+
+
+@pytest.mark.slow
+def test_fc_inline_aligner_matches_scan():
+    """The inline permutation aligner runs between fused kernel calls
+    (the kernel emits the posterior; the mapping permutes the
+    per-class state), replicating the scan path's align-then-M
+    (reference cacgmm.py:260-267)."""
+    from pb_bss_tpu.permutation_alignment import (
+        GreedyPermutationAlignment,
+    )
+    y = _mixture(seed=20)  # F=17 (odd, as the aligner expects)
+    aligner = GreedyPermutationAlignment()
+    common = dict(num_classes=3, iterations=3,
+                  weight_constant_axis=WCA,
+                  inline_permutation_aligner=aligner)
+    trainer = CACGMMTrainer()
+    m_fc = trainer.fit(y, use_fused_em=True, **common)
+    m_scan = trainer.fit(y, use_fused_em=False, **common)
+    _assert_models_close(m_fc, m_scan, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_fc_inline_aligner_resume_from_model():
+    from pb_bss_tpu.permutation_alignment import (
+        GreedyPermutationAlignment,
+    )
+    y = _mixture(seed=21)
+    aligner = GreedyPermutationAlignment()
+    trainer = CACGMMTrainer()
+    m0 = trainer.fit(y, num_classes=3, iterations=2,
+                     weight_constant_axis=WCA, use_fused_em=False)
+    common = dict(initialization=m0, iterations=2,
+                  weight_constant_axis=WCA,
+                  inline_permutation_aligner=aligner)
+    m_fc = trainer.fit(y, use_fused_em=True, **common)
+    m_scan = trainer.fit(y, use_fused_em=False, **common)
+    _assert_models_close(m_fc, m_scan, atol=2e-3)
+
+
+@pytest.mark.slow
 def test_fc_fit_predict():
     y = _mixture(seed=6)
     trainer = CACGMMTrainer()

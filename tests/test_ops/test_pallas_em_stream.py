@@ -103,6 +103,33 @@ def test_stream_resume_from_model():
 
 
 @pytest.mark.slow
+def test_stream_fc_batched_resume_from_broadcast_weight():
+    """Regression (mirrors test_pallas_em_step): batched fc resume
+    from a batch-broadcast (1, K) weight must widen the scan carry."""
+    from pb_bss_tpu.models.cacgmm import CACGMM
+
+    ys = [np.asarray(_mixture(seed=s)) for s in (6, 7)]
+    yb = jnp.asarray(np.stack(ys))
+    rng = np.random.default_rng(42)
+    aff0 = rng.uniform(size=(2, F, K, T)).astype(np.float32)
+    aff0 /= aff0.sum(-2, keepdims=True)
+    trainer = CACGMMTrainer()
+    m0 = trainer.fit(yb, initialization=jnp.asarray(aff0),
+                     iterations=2, weight_constant_axis=(-3, -1),
+                     use_fused_em=False, t_block=None)
+    m_shared = CACGMM(weight=jnp.mean(m0.weight, axis=0),
+                      cacg=m0.cacg)
+    assert m_shared.weight.shape == (1, K, 1)
+    m_stream = trainer.fit(yb, initialization=m_shared, iterations=2,
+                           weight_constant_axis=(-3, -1),
+                           use_fused_em=True, t_block=None)
+    m_scan = trainer.fit(yb, initialization=m_shared, iterations=2,
+                         weight_constant_axis=(-3, -1),
+                         use_fused_em=False, t_block=None)
+    _assert_close(m_stream, m_scan)
+
+
+@pytest.mark.slow
 def test_stream_fit_predict():
     y = _mixture(seed=4)
     trainer = CACGMMTrainer()
