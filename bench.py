@@ -438,6 +438,48 @@ def bench_extras():
     except Exception as e:  # pragma: no cover
         lines.append(f'long-T config failed: {type(e).__name__}: {e}')
 
+    # config 3e: LONG-signal CWMM / CBMM (r5) — streamed kernels
+    # (ops/pallas_mm_stream.py) vs the scan paths at T=4000
+    try:
+        from pb_bss_tpu.models.cwmm import CWMMTrainer
+        from pb_bss_tpu.models.cbmm import CBMMTrainer
+        Tlong = 4000
+        rngl = np.random.default_rng(16)
+        yl = (rngl.standard_normal((F, Tlong, D))
+              + 1j * rngl.standard_normal((F, Tlong, D)))
+        yl /= np.linalg.norm(yl, axis=-1, keepdims=True)
+        aff0 = rngl.uniform(size=(F, K, Tlong)).astype(np.float32)
+        aff0 /= aff0.sum(-2, keepdims=True)
+        aff0 = jnp.asarray(aff0)
+        inputs = [
+            (jnp.asarray(yl.real + 1e-3 * rngl.standard_normal(
+                yl.shape), jnp.float32),
+             jnp.asarray(yl.imag, jnp.float32))
+            for _ in range(2)
+        ]
+        _ = np.asarray(fetch(sum(a.sum() + b.sum() for a, b in inputs)))
+
+        for name, Trainer, iters in (('cwmm', CWMMTrainer, 10),
+                                     ('cbmm', CBMMTrainer, 5)):
+            def long_mm(fused, Trainer=Trainer, iters=iters):
+                @jax.jit
+                def f(y_re, y_im):
+                    m = Trainer().fit(
+                        y_re + 1j * y_im, initialization=aff0,
+                        iterations=iters, use_fused_em=fused)
+                    leaf = jax.tree_util.tree_leaves(m)[0]
+                    return jnp.sum(jnp.abs(leaf))
+                return f
+            dt_stream = timed(long_mm(True), inputs) / iters
+            dt_scan = timed(long_mm(False), inputs) / iters
+            lines.append(
+                f'long-T {name} (T={Tlong}): streamed '
+                f'{dt_stream * 1e3:.2f} ms/iter vs scan '
+                f'{dt_scan * 1e3:.2f} ms/iter '
+                f'({dt_scan / dt_stream:.1f}x)')
+    except Exception as e:  # pragma: no cover
+        lines.append(f'long-T mm config failed: {type(e).__name__}: {e}')
+
     # config 4: batched 3-speaker separation incl. 513-bin PA
     try:
         from pb_bss_tpu.pipeline import separate_batch
@@ -611,14 +653,12 @@ def em_flops_per_iteration(f=F, k=K, t=T, d=D, eigh_sweeps=2.2):
 PEAK_FLOPS_F32 = 4.6e13
 
 
-def main():
+def _setup_compile_cache():
+    """Persistent XLA compilation cache: the bench is compile-bound on
+    a cold process (a dozen distinct programs at ~20-60 s each over
+    a tunneled backend); warm reruns skip the compiles. Same
+    opt-out/keying as tests/conftest.py."""
     import os
-    import sys
-
-    # Persistent XLA compilation cache: the bench is compile-bound on
-    # a cold process (a dozen distinct programs at ~20-60 s each over
-    # a tunneled backend); warm reruns skip the compiles. Same
-    # opt-out/keying as tests/conftest.py.
     if os.environ.get('PB_BSS_TPU_BENCH_COMPILE_CACHE', '1') != '0':
         import jax
         jax.config.update(
@@ -630,8 +670,19 @@ def main():
         jax.config.update(
             'jax_persistent_cache_min_compile_time_secs', 0.5)
 
+
+_CHILD_MARKER = '##BENCH_TPU_RESULT## '
+
+
+def _tpu_child():
+    """Run ALL device work in this (sub)process and emit one marker
+    line with the raw timings. Runs as ``bench.py --tpu-child`` so a
+    degraded-tunnel episode can only kill this process, never the
+    orchestrating parent (CLAUDE.md gotcha 4c)."""
+    import sys
+
+    _setup_compile_cache()
     y = _make_data()
-    em_np, gev_np = bench_numpy(y)
     em_jax, gev_jax = bench_jax(y)
     e2e_time, e2e_compute = bench_end_to_end()
     try:
@@ -639,8 +690,135 @@ def main():
     except Exception as e:
         print(f'# extras failed: {type(e).__name__}: {e}',
               file=sys.stderr)
+    print(_CHILD_MARKER + json.dumps({
+        'em_jax': em_jax,
+        'gev_jax': gev_jax,
+        'em_batched': getattr(bench_jax, 'em_batched', em_jax),
+        'em_fast': getattr(bench_jax, 'em_fast_time', em_jax),
+        'e2e': e2e_time,
+        'e2e_compute': e2e_compute,
+    }), flush=True)
 
-    em_best = getattr(bench_jax, 'em_batched', em_jax)
+
+def _probe_healthy(timeout):
+    """One trivial-jit probe in a throwaway subprocess.
+
+    A degraded-episode process can sleep forever in a connect-retry
+    loop (gotcha 4d), so the probe must be externally killable —
+    hence a subprocess with a hard timeout, never an in-process try.
+    """
+    import subprocess
+    import sys
+    code = (
+        'import numpy as np, jax, jax.numpy as jnp;'
+        'np.asarray(jax.jit(lambda v: v + 0.0)(jnp.float32(1.0)))'
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c', code], timeout=timeout,
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+    except subprocess.TimeoutExpired:
+        return False, f'probe timed out after {timeout:.0f}s'
+    if r.returncode != 0:
+        tail = r.stderr.decode(errors='replace').strip().splitlines()
+        return False, tail[-1] if tail else f'probe rc={r.returncode}'
+    return True, 'ok'
+
+
+def _run_tpu_measurement(deadline):
+    """Launch the TPU child; gate every attempt on a health probe and
+    retry across degraded-tunnel episodes until ``deadline``.
+
+    Returns the child's timing dict, or None if the backend never
+    came back inside the budget."""
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    probe_timeout = float(os.environ.get(
+        'PB_BSS_TPU_BENCH_PROBE_TIMEOUT_S', '180'))
+    probe_sleep = float(os.environ.get(
+        'PB_BSS_TPU_BENCH_PROBE_SLEEP_S', '60'))
+    child_timeout = float(os.environ.get(
+        'PB_BSS_TPU_BENCH_CHILD_TIMEOUT_S', '2700'))
+    attempt = 0
+    while True:
+        remaining = deadline - _time.monotonic()
+        if remaining <= 0:
+            print('# bench: budget exhausted before a healthy '
+                  'measurement', file=sys.stderr)
+            return None
+        t0 = _time.monotonic()
+        healthy, why = _probe_healthy(min(probe_timeout, remaining))
+        print(f'# bench: probe {"ok" if healthy else "UNHEALTHY"} in '
+              f'{_time.monotonic() - t0:.0f}s ({why})',
+              file=sys.stderr, flush=True)
+        if not healthy:
+            # Degraded episodes last ~an hour; poll on a bounded
+            # schedule instead of dying (gotcha 4c).
+            _time.sleep(min(probe_sleep,
+                            max(1.0, deadline - _time.monotonic())))
+            continue
+        attempt += 1
+        remaining = deadline - _time.monotonic()
+        if remaining <= 0:
+            return None
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 '--tpu-child'],
+                timeout=min(child_timeout, remaining),
+                stdout=subprocess.PIPE, stderr=None,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            print(f'# bench: attempt {attempt} timed out; re-probing',
+                  file=sys.stderr, flush=True)
+            continue
+        out = r.stdout.decode(errors='replace')
+        for line in out.splitlines():
+            if line.startswith(_CHILD_MARKER):
+                return json.loads(line[len(_CHILD_MARKER):])
+        tail = '\n'.join(out.strip().splitlines()[-5:])
+        print(f'# bench: attempt {attempt} failed rc={r.returncode}; '
+              f'stdout tail:\n{tail}', file=sys.stderr, flush=True)
+        _time.sleep(min(probe_sleep,
+                        max(1.0, deadline - _time.monotonic())))
+
+
+def main():
+    import os
+    import sys
+    import time as _time
+
+    deadline = _time.monotonic() + float(os.environ.get(
+        'PB_BSS_TPU_BENCH_BUDGET_S', '5400'))
+
+    # NumPy baseline first: pure CPU, immune to tunnel episodes — a
+    # hard TPU failure below still reports it on stderr.
+    y = _make_data()
+    em_np, gev_np = bench_numpy(y)
+    print(f'# numpy baseline: em {em_np * 1e3:.2f} ms/iter, gev '
+          f'{gev_np * 1e3:.2f} ms', file=sys.stderr, flush=True)
+
+    res = _run_tpu_measurement(deadline)
+    if res is None:
+        print(json.dumps({
+            'metric': 'cACGMM EM iters/sec (F=513, D=6, K=3, T=300, '
+                      'device-amortized batch-8)',
+            'value': 0.0,
+            'unit': 'iters/sec',
+            'vs_baseline': 0.0,
+            'error': 'TPU backend unavailable for the whole bench '
+                     'budget (degraded-tunnel episode); numpy '
+                     'baseline on stderr',
+        }))
+        sys.exit(1)
+
+    em_jax, gev_jax = res['em_jax'], res['gev_jax']
+    em_best = res['em_batched']
+    e2e_time, e2e_compute = res['e2e'], res['e2e_compute']
+
     iters_per_sec = 1.0 / em_best
     baseline_iters_per_sec = 1.0 / em_np
     # end-to-end style weighting: 20 EM iters + one GEV solve
@@ -672,7 +850,7 @@ def main():
     # Secondary detail for humans:
     print(
         f'# em: jax {em_jax * 1e3:.2f} ms/iter single-call '
-        f'({getattr(bench_jax, "em_fast_time", em_jax) * 1e3:.2f} '
+        f'({res["em_fast"] * 1e3:.2f} '
         f'ms/iter with eigh_sweeps=4, '
         f'{em_best * 1e3:.3f} ms/iter device-amortized) vs numpy '
         f'{em_np * 1e3:.2f} ms/iter; gev(513x6): jax '
@@ -688,4 +866,8 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    import sys as _sys
+    if '--tpu-child' in _sys.argv[1:]:
+        _tpu_child()
+    else:
+        main()

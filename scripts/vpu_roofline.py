@@ -1,0 +1,136 @@
+"""Measure the practical VPU op-mix ceiling for the fused EM kernels
+(VERDICT r4 #4: substantiate — or refute — the 'tens of percent'
+practical-MFU ceiling with a microbenchmark).
+
+Three single-kernel Pallas microbenchmarks on VMEM-resident f32
+planes, each with 4 independent accumulator chains (throughput, not
+latency):
+
+  fma   — a*x+b fused multiply-add            (2 FLOP/elem/rep)
+  exp   — exp(small*acc)                      (1 transcendental/rep)
+  recip — 1/(acc+c)                           (1 divide/rep)
+  mix   — the EM inner-loop blend: per rep 12 FMA + 1 exp + 1 log
+          + 1 recip + 2 max (the measured op ratio of one fused EM
+          iteration per element of the (K, T, F') posterior plane —
+          see bench.py:em_flops_per_iteration)
+
+Timing uses the honest tunnel protocol (distinct pre-staged inputs,
+derived-scalar fetch; CLAUDE.md gotchas 3/12).
+
+Run from /root/repo on the axon backend:
+    python scripts/vpu_roofline.py
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, '/root/repo')
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+S, L = 512, 512            # (sublane, lane) plane: 1 MB f32
+CHAINS = 4
+REPS = 2000
+
+
+def _bench_kernel(x_ref, o_ref, *, reps, op):
+    accs = [x_ref[...] * (0.5 + 0.1 * i) for i in range(CHAINS)]
+    x = x_ref[...]
+
+    def body(i, accs):
+        out = []
+        for a in accs:
+            if op == 'fma':
+                a = a * x + 1e-6
+            elif op == 'exp':
+                a = jnp.exp(-1e-6 * a)
+            elif op == 'recip':
+                a = 1.0 / (a + 1.5)
+            elif op == 'mix':
+                # per rep: 12 FMA-class + exp + log + recip + 2 max
+                for _ in range(6):
+                    a = a * x + 1e-6      # 6 x FMA
+                q = jnp.maximum(a * a + 1e-9, 1e-30)   # FMA + max
+                lg = jnp.log(q)
+                e = jnp.exp(-1e-6 * lg)
+                a = jnp.maximum(a + e * x, 1e-30) \
+                    + 1.0 / (q + 1.5)     # 2 FMA-ish + max + recip
+                for _ in range(3):
+                    a = a * x + 1e-6      # 3 x FMA
+            out.append(a)
+        return out
+
+    accs = lax.fori_loop(0, reps, body, accs)
+    acc = accs[0]
+    for a in accs[1:]:
+        acc = acc + a
+    o_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=('reps', 'op'))
+def run_bench(x, *, reps, op):
+    out = pl.pallas_call(
+        functools.partial(_bench_kernel, reps=reps, op=op),
+        out_shape=jax.ShapeDtypeStruct((S, L), jnp.float32),
+    )(x)
+    return jnp.sum(out)
+
+
+# FLOPs per element per rep per chain (count transcendentals/divides
+# as 1 "op" — the point is ops/s per class, FLOP-equivalents shown
+# separately)
+OP_COUNTS = {
+    'fma': 2.0,            # mul + add
+    'exp': 1.0,
+    'recip': 1.0,
+    'mix': 12 * 2 + 1 + 1 + 1 + 2 + 3,   # 12 FMA=24fl + exp/log/recip
+}
+
+
+def main():
+    fetch = jax.jit(lambda v: v + 0.0)
+    print('backend:', jax.devices(), flush=True)
+    t0 = time.time()
+    np.asarray(fetch(jnp.float32(1.0)))
+    print(f'probe ok in {time.time() - t0:.1f}s', flush=True)
+    w = jax.jit(lambda a: lax.scan(
+        lambda c, _: (c @ a, None), jnp.eye(8), None, length=4)[0])
+    np.asarray(fetch(w(jnp.eye(8) * 0.5).sum()))
+    print(f'warmup done {time.time() - t0:.1f}s', flush=True)
+
+    rng = np.random.default_rng(0)
+    n_calls = 8
+    results = {}
+    for op in ('fma', 'exp', 'recip', 'mix'):
+        inputs = [jnp.asarray(
+            (0.99 + 0.001 * rng.standard_normal((S, L))).astype(
+                np.float32)) for _ in range(n_calls)]
+        _ = np.asarray(fetch(sum(x.sum() for x in inputs)))
+        _ = np.asarray(fetch(run_bench(inputs[0], reps=REPS, op=op)))
+        start = time.perf_counter()
+        acc = sum(run_bench(x, reps=REPS, op=op) for x in inputs)
+        _ = np.asarray(fetch(acc))
+        dt = (time.perf_counter() - start) / n_calls
+        elems = S * L * CHAINS * REPS
+        ops = elems * OP_COUNTS[op]
+        results[op] = ops / dt
+        print(f'{op:6s}: {dt * 1e3:7.2f} ms/call -> '
+              f'{ops / dt / 1e12:6.2f} Tops/s '
+              f'({elems / dt / 1e12:.2f} Gelem-rep/s)', flush=True)
+
+    # EM op-mix ceiling: one fused EM iteration spends, per posterior
+    # element, ~24 FMA-FLOPs + 1 exp + 1 log + 1 recip + 2 max (the
+    # 'mix' kernel). Its measured rate IS the ceiling for the EM
+    # kernel's instruction blend.
+    print(f"\nEM op-mix ceiling (measured): "
+          f"{results['mix'] / 1e12:.2f} TFLOP-equiv/s; "
+          f"pure-FMA VPU rate {results['fma'] / 1e12:.2f} TFLOP/s",
+          flush=True)
+
+
+if __name__ == '__main__':
+    main()
