@@ -92,6 +92,8 @@ class InputMetricsBatch:
 
     @cached_property
     def _fused_eval(self):
+        """BSS-Eval + STOI for the whole batch as ONE device program
+        (requires a sample rate for the STOI resampler)."""
         from ._fused_eval_device import bss_eval_stoi_fused_batch
         reference, estimation = self._broadcast_pair
         out = bss_eval_stoi_fused_batch(
@@ -104,9 +106,18 @@ class InputMetricsBatch:
 
     @cached_property
     def mir_eval(self):
-        out = dict(self._fused_eval)
-        out.pop('stoi')
-        return out
+        if self.sample_rate is not None:
+            out = dict(self._fused_eval)
+            out.pop('stoi')
+            return out
+        # no sample rate -> BSS-Eval alone (STOI needs the resampler)
+        reference, estimation = self._broadcast_pair
+        out = bss_eval_sources_batch(
+            reference=np.swapaxes(reference, -3, -2),  # (..., D, K, N)
+            estimation=np.swapaxes(estimation, -3, -2),
+            compute_permutation=False)
+        return {key: np.swapaxes(out[key], -2, -1)    # -> (..., K, D)
+                for key in ('sdr', 'sir', 'sar')}
 
     @cached_property
     def mir_eval_sdr(self):
@@ -122,6 +133,9 @@ class InputMetricsBatch:
 
     @cached_property
     def stoi(self):
+        assert self.sample_rate is not None, (
+            'STOI needs a sample rate; construct InputMetricsBatch '
+            'with sample_rate=...')
         return self._fused_eval['stoi']
 
     @cached_property

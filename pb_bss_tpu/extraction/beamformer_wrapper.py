@@ -118,9 +118,10 @@ def get_bf_vector(
     (6, 3)
     """
     assert 'lcmv' not in beamformer, (
-        'Since the LCMV beamformer and its variants sufficiently differ '
-        'from all other beamforming approaches, we provide a separate '
-        'wrapper function `get_multi_source_bf_vector()`.'
+        'LCMV takes per-source PSD stacks plus a response vector, which '
+        'does not fit this single-target dispatch — call '
+        '`pb_bss_tpu.extraction.get_lcmv_vector` (or '
+        '`get_lcmv_vector_souden`) directly.'
     )
     assert isinstance(beamformer, str), beamformer
 

@@ -465,7 +465,15 @@ class StreamingSeparator:
                     'beamformer', 'init_frames', 'realign_interval')
 
     def _config(self):
-        return {k: getattr(self, k) for k in self._CONFIG_KEYS}
+        config = {k: getattr(self, k) for k in self._CONFIG_KEYS}
+        # not plain attributes, but constructor config all the same —
+        # resuming with different values would silently diverge from
+        # the promised bit-identical continuation
+        config['inner_iterations'] = self.stream.inner_iterations
+        config['init_iterations'] = self.stream.init_iterations
+        config['aligner'] = (None if self._aligner is None
+                             else type(self._aligner).__name__)
+        return config
 
     def state_dict(self):
         """Snapshot the live stream as host NumPy (serving failover /
