@@ -275,14 +275,42 @@ def test_cbmm_long_fit_beats_short_fit():
     (speaker 1 gains ~3 dB while speaker 0 loses ~0.4/3.9 dB) — the
     per-frequency Bingham EM reallocates ambiguous bins between
     classes as concentrations sharpen. The assertion pins the mean
-    improvement; the per-speaker non-monotonicity is documented in
-    docs/DESIGN.md."""
+    improvement; the per-speaker fix is the warm-start recipe pinned
+    by ``test_cbmm_warm_start_per_speaker`` below."""
     sc = _Scenario(reverberation=False)
     short = sc.delta_sdr(_run_ours(CBMMTrainer, sc, iterations=4))
     long = sc.delta_sdr(_run_ours(CBMMTrainer, sc, iterations=20))
     for key in ('invasive', 'mir_eval'):
         assert np.mean(long[key]) > np.mean(short[key]), (
             key, long[key], short[key])
+
+
+@pytest.mark.slow
+def test_cbmm_warm_start_per_speaker():
+    """Round-5 fix for the per-speaker non-monotonicity above: warm
+    start the CBMM from cACGMM posterior masks (the models/fca.py
+    recipe). Measured (scripts/cbmm_warmstart_experiment.py): random
+    init gives [-2.6, -2.4] dB invasive at 4 iterations and loses
+    speaker 0 at 20; warm start gives ~[14.5, 11.9] at ANY iteration
+    count, and 20 vs 4 warm iterations moves each speaker <= ~0.3 dB
+    — no per-speaker collapse. Pinned: (a) warm start beats random
+    init for EVERY speaker on both metrics by > 5 dB, (b) the long
+    warm fit stays within 0.5 dB of the short one per speaker."""
+    sc = _Scenario(reverberation=False)
+    cacg = CACGMMTrainer().fit(
+        sc.Y_mm, initialization=sc.initialization, iterations=20,
+        weight_constant_axis=-1)
+    aff_cacg = np.asarray(cacg.predict(sc.Y_mm))
+    random4 = sc.delta_sdr(_run_ours(CBMMTrainer, sc, iterations=4))
+    warm4 = sc.delta_sdr(_run_ours(
+        CBMMTrainer, sc, iterations=4, initialization=aff_cacg))
+    warm20 = sc.delta_sdr(_run_ours(
+        CBMMTrainer, sc, iterations=20, initialization=aff_cacg))
+    for key in ('invasive', 'mir_eval'):
+        assert np.all(warm4[key] > random4[key] + 5.0), (
+            key, warm4[key], random4[key])
+        assert np.all(np.abs(warm20[key] - warm4[key]) < 0.5), (
+            key, warm20[key], warm4[key])
 
 
 def _run_integration_ours(Trainer, sc, emb, init, iterations=40):
