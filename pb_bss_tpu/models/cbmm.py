@@ -58,17 +58,6 @@ class CBMM(Model):
         )
 
 
-def _fused_cbmm_knobs_ok(aligner, weight_constant_axis):
-    """The knob settings the whole-fit kernel implements: no inline
-    PA, per-bin weights (saliency and a finite ``max_concentration``
-    are handled in-kernel). Shared by the 'auto' gate and the
-    forced-``True`` asserts."""
-    return (
-        aligner is None
-        and weight_constant_axis in ((-1,), -1)
-    )
-
-
 def _fit_fused_cbmm(y, affiliation, *, iterations, affiliation_eps,
                     spacing_eps, saliency=None,
                     max_concentration=np.inf,
@@ -204,29 +193,32 @@ class CBMMTrainer:
                 family='bingham',
                 has_sal=user_saliency is not None)[1])
 
+        wca_per_bin = weight_constant_axis in ((-1,), -1)
+        wca_fc = weight_constant_axis in ((-3, -1), (-1, -3))
         if use_fused_em == 'auto':
             use_fused_em = (
                 jax.default_backend() != 'cpu'
                 and y.ndim in (3, 4)
                 and y.dtype == jnp.dtype(jnp.complex64)
                 and 2 <= y.shape[-1] <= 8
-                and _fused_cbmm_knobs_ok(
-                    inline_permutation_aligner, weight_constant_axis)
-                and (_whole_fit_feasible() or _stream_feasible())
+                and inline_permutation_aligner is None
+                and (wca_per_bin or wca_fc)
+                and ((wca_per_bin and _whole_fit_feasible())
+                     or _stream_feasible())
             )
         if use_fused_em:
             # The kernels implement only the supported knobs — forcing
             # them with unsupported ones would silently fit a different
-            # model (no inline PA, no shared weight axes).
-            assert _fused_cbmm_knobs_ok(
-                inline_permutation_aligner, weight_constant_axis), (
+            # model (no inline PA).
+            assert inline_permutation_aligner is None and (
+                wca_per_bin or wca_fc), (
                 'use_fused_em=True requires '
                 'inline_permutation_aligner=None and '
-                'weight_constant_axis=(-1,); got '
+                'weight_constant_axis=(-1,) or (-3, -1); got '
                 f'{inline_permutation_aligner=}, '
                 f'{weight_constant_axis=}'
             )
-            if _whole_fit_feasible():
+            if wca_per_bin and _whole_fit_feasible():
                 return _fit_fused_cbmm(
                     y, initialization,
                     iterations=int(iterations),
@@ -238,10 +230,11 @@ class CBMMTrainer:
                     max_concentration=self.max_concentration,
                     return_affiliation=_return_affiliation,
                 )
-            # long T: streamed per-iteration kernel (frequency tiles
-            # x time blocks; ops/pallas_mm_stream.py). The M finish
-            # (eigh + warm chord-Newton moment inversion) is the scan
-            # path's own XLA code, so parity is with the scan path.
+            # long T and/or frequency-constant weights: streamed
+            # per-iteration kernel (frequency tiles x time blocks;
+            # ops/pallas_mm_stream.py). The M finish (eigh + warm
+            # chord-Newton moment inversion) is the scan path's own
+            # XLA code, so parity is with the scan path.
             from ..ops.pallas_mm_stream import cbmm_em_long
             y_t = jnp.swapaxes(y, -2, -1)  # (..., D, T) planes
             fused_saliency = user_saliency
@@ -260,11 +253,15 @@ class CBMMTrainer:
                 spacing_eps=(None if self.eigenvalue_eps is None
                              else float(self.eigenvalue_eps)),
                 affiliation_eps=float(affiliation_eps),
+                weight_mode='per_bin' if wca_per_bin else 'fc',
                 interpret=jax.default_backend() == 'cpu',
                 saliency=fused_saliency,
             )
+            # estimate_mixture_weight keepdims shapes
+            weight = (weight[..., None] if wca_per_bin
+                      else weight[..., None, :, None])
             fitted = CBMM(
-                weight=weight[..., None],
+                weight=weight,
                 complex_bingham=ComplexBingham(
                     covariance_eigenvectors=vectors,
                     covariance_eigenvalues=eigenvalues,

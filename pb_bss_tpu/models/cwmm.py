@@ -156,6 +156,8 @@ class CWMMTrainer:
                 y.shape[-1], initialization.shape[-2],
                 family='watson', has_sal=saliency is not None)[1])
 
+        wca_per_bin = weight_constant_axis in ((-1,), -1)
+        wca_fc = weight_constant_axis in ((-3, -1), (-1, -3))
         if use_fused_em == 'auto':
             use_fused_em = (
                 jax.default_backend() != 'cpu'
@@ -163,20 +165,21 @@ class CWMMTrainer:
                 and y.dtype == jnp.dtype(jnp.complex64)
                 and y.shape[-1] <= 16
                 and inline_permutation_aligner is None
-                and weight_constant_axis in ((-1,), -1)
-                and (_whole_fit_feasible() or _stream_feasible())
+                and (wca_per_bin or wca_fc)
+                and ((wca_per_bin and _whole_fit_feasible())
+                     or _stream_feasible())
             )
         if use_fused_em:
             assert y.ndim in (3, 4)
             assert inline_permutation_aligner is None
-            assert weight_constant_axis in ((-1,), -1)
+            assert wca_per_bin or wca_fc, weight_constant_axis
             y_dt = jnp.swapaxes(y, -2, -1)  # (F, D, T)
             fused_saliency = saliency
             if fused_saliency is not None:
                 fused_saliency = jnp.broadcast_to(
                     jnp.asarray(fused_saliency, _real_dtype(y)),
                     (*y.shape[:-2], y.shape[-2]))
-            if _whole_fit_feasible():
+            if wca_per_bin and _whole_fit_feasible():
                 from ..ops.pallas_cwmm_loop import cwmm_em_full
                 weight, mode, concentration, affiliation = cwmm_em_full(
                     y_dt.real, y_dt.imag,
@@ -190,11 +193,13 @@ class CWMMTrainer:
                     interpret=jax.default_backend() == 'cpu',
                     saliency=fused_saliency,
                 )
+                weight = weight[..., None]
             else:
-                # long T: streamed per-iteration kernel (frequency
-                # tiles x time blocks; ops/pallas_mm_stream.py). Its
-                # concentration inverse is the scan path's log-spaced
-                # interp table, so parity is with the scan path.
+                # long T and/or frequency-constant weights: streamed
+                # per-iteration kernel (frequency tiles x time
+                # blocks; ops/pallas_mm_stream.py). Its concentration
+                # inverse is the scan path's log-spaced interp table,
+                # so parity is with the scan path.
                 from ..ops.pallas_mm_stream import cwmm_em_long
                 weight, mode, concentration = cwmm_em_long(
                     y_dt.real, y_dt.imag,
@@ -202,12 +207,16 @@ class CWMMTrainer:
                     iterations=int(iterations),
                     max_concentration=float(self.max_concentration),
                     spline_markers=int(self.spline_markers),
+                    weight_mode='per_bin' if wca_per_bin else 'fc',
                     interpret=jax.default_backend() == 'cpu',
                     saliency=fused_saliency,
                 )
+                # estimate_mixture_weight keepdims shapes
+                weight = (weight[..., None] if wca_per_bin
+                          else weight[..., None, :, None])
                 affiliation = None
             model = CWMM(
-                weight=weight[..., None],
+                weight=weight,
                 complex_watson=ComplexWatson(
                     mode=mode, concentration=concentration),
             )

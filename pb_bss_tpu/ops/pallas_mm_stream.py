@@ -220,7 +220,8 @@ def _stage_planes(x, t_pad, f_pad, constant_values=0.0):
 
 
 def _stream_machinery(y_re, y_im, affiliation, saliency, *, family,
-                      K, tile_t, tile_f, affiliation_eps, interpret):
+                      K, tile_t, tile_f, affiliation_eps, interpret,
+                      weight_mode='per_bin'):
     """Shared per-family launch plumbing.
 
     Returns (run_stats, scatter_of, weight_of, stage_planes_of,
@@ -308,13 +309,26 @@ def _stream_machinery(y_re, y_im, affiliation, saliency, *, family,
         return scatter / denom.astype(scatter.dtype), asum_b
 
     def weight_of(asum_b):
-        """Per-bin mixture weight (``weight_constant_axis=(-1,)``),
-        saliency-aware (estimate_mixture_weight semantics)."""
+        """Mixture weight from the (FB, K) affiliation sums —
+        'per_bin' (``weight_constant_axis=(-1,)``) or 'fc'
+        (``(-3, -1)``: one cross-bin reduction, a psum under a
+        sharded 'f' axis); saliency-aware
+        (estimate_mixture_weight semantics)."""
+        if weight_mode == 'per_bin':
+            if has_sal:
+                denom = jnp.sum(asum_b, axis=-1, keepdims=True)
+                denom = jnp.where(denom == 0, jnp.float32(1e-10), denom)
+                return asum_b / denom
+            return asum_b / T
+        if batched:
+            sums = jnp.sum(asum_b.reshape(B, F, K), axis=1)
+        else:
+            sums = jnp.sum(asum_b, axis=0)
         if has_sal:
-            denom = jnp.sum(asum_b, axis=-1, keepdims=True)
+            denom = jnp.sum(sums, axis=-1, keepdims=True)
             denom = jnp.where(denom == 0, jnp.float32(1e-10), denom)
-            return asum_b / denom
-        return asum_b / T
+            return sums / denom
+        return sums / (F * T)
 
     def pad_planes(x, extra_dims):
         """(FB, K, ...) model leaf -> (..., K, f_pad) kernel plane."""
@@ -323,9 +337,21 @@ def _stream_machinery(y_re, y_im, affiliation, saliency, *, family,
             jnp.transpose(x.astype(jnp.float32), perm),
             ((0, 0),) * (extra_dims + 1) + ((0, f_pad - FB),))
 
+    def weight_planes(w):
+        """Weight -> (K, f_pad) lane planes: per-bin (FB, K) weights
+        transpose; fc (K,)/(B, K) weights broadcast over bins."""
+        if weight_mode == 'per_bin':
+            return pad_planes(w, 0)
+        if batched:
+            full = jnp.broadcast_to(
+                w[:, None, :], (B, F, K)).reshape(FB, K)
+        else:
+            full = jnp.broadcast_to(w[None, :], (FB, K))
+        return pad_planes(full, 0)
+
     meta = dict(batched=batched, B=B, F=F, D=D, T=T, FB=FB,
                 f_pad=f_pad, tile_f=tile_f, tile_t=tile_t,
-                affiliation=affiliation)
+                affiliation=affiliation, weight_planes=weight_planes)
     return run_stats, scatter_of, weight_of, pad_planes, fold, meta
 
 
@@ -336,18 +362,20 @@ _AFF_SPEC = lambda K, tile_t, tile_f: [
 @functools.partial(
     jax.jit,
     static_argnames=('iterations', 'sweeps', 'max_concentration',
-                     'spline_markers', 'tile_t', 'tile_f',
-                     'interpret'))
+                     'spline_markers', 'weight_mode', 'tile_t',
+                     'tile_f', 'interpret'))
 def cwmm_em_long(y_re, y_im, affiliation, *, iterations,
                  max_concentration=500.0, spline_markers=1000,
-                 sweeps=None, tile_t=None, tile_f=None,
-                 interpret=False, saliency=None):
+                 weight_mode='per_bin', sweeps=None, tile_t=None,
+                 tile_f=None, interpret=False, saliency=None):
     """Streamed complex-Watson-MM EM for signals too long for the
     whole-fit kernel (ops/pallas_cwmm_loop.py).
 
     Semantics match the scan path (models/cwmm.py:_cwmm_fit_em):
     ``iterations`` M-steps from the given affiliations with an E-step
-    between; per-bin mixture weights; the concentration inverse uses
+    between; per-bin OR frequency-constant mixture weights
+    (``weight_mode`` — 'fc' reduces the affiliation sums over bins,
+    a psum under a sharded 'f' axis); the concentration inverse uses
     the scan path's log-spaced ``jnp.interp`` table (NOT the whole-fit
     kernel's uniform grid), so parity with the scan path is tight.
 
@@ -358,8 +386,8 @@ def cwmm_em_long(y_re, y_im, affiliation, *, iterations,
         affiliation: (.., F, K, T) initial posteriors.
         saliency: optional (.., F, T) frame weights.
     Returns:
-        (weight (.., F, K), mode (.., F, K, D) complex64,
-        concentration (.., F, K)).
+        (weight — (.., F, K) for 'per_bin', (K,)/(B, K) for 'fc' —
+        mode (.., F, K, D) complex64, concentration (.., F, K)).
     """
     from ..models.complex_watson import (
         ComplexWatson, _hypergeometric_ratio_grid,
@@ -371,7 +399,7 @@ def cwmm_em_long(y_re, y_im, affiliation, *, iterations,
         _stream_machinery(
             y_re, y_im, affiliation, saliency, family='watson', K=K,
             tile_t=tile_t, tile_f=tile_f, affiliation_eps=0.0,
-            interpret=interpret))
+            interpret=interpret, weight_mode=weight_mode))
     D, T = meta['D'], meta['T']
     tile_tt, tile_ff = meta['tile_t'], meta['tile_f']
     t_pad = -(-T // tile_tt) * tile_tt
@@ -407,7 +435,7 @@ def cwmm_em_long(y_re, y_im, affiliation, *, iterations,
         planes = [
             pad_planes(mode.real, 1), pad_planes(mode.imag, 1),
             pad_planes(kappa, 0), pad_planes(logz, 0),
-            pad_planes(weight, 0),
+            meta['weight_planes'](weight),
         ]
         s_re, s_im, asum = run_stats(planes, step_specs,
                                      from_init=False)
@@ -419,8 +447,9 @@ def cwmm_em_long(y_re, y_im, affiliation, *, iterations,
 
     if meta['batched']:
         B, F = meta['B'], meta['F']
-        return (weight.reshape(B, F, K),
-                mode.reshape(B, F, K, D),
+        if weight_mode == 'per_bin':
+            weight = weight.reshape(B, F, K)
+        return (weight, mode.reshape(B, F, K, D),
                 kappa.reshape(B, F, K))
     return weight, mode, kappa
 
@@ -428,17 +457,19 @@ def cwmm_em_long(y_re, y_im, affiliation, *, iterations,
 @functools.partial(
     jax.jit,
     static_argnames=('iterations', 'max_concentration', 'spacing_eps',
-                     'affiliation_eps', 'sweeps', 'tile_t', 'tile_f',
-                     'interpret'))
+                     'affiliation_eps', 'weight_mode', 'sweeps',
+                     'tile_t', 'tile_f', 'interpret'))
 def cbmm_em_long(y_re, y_im, affiliation, *, iterations,
                  max_concentration=np.inf, spacing_eps=None,
-                 affiliation_eps=0.0, sweeps=None, tile_t=None,
-                 tile_f=None, interpret=False, saliency=None):
+                 affiliation_eps=0.0, weight_mode='per_bin',
+                 sweeps=None, tile_t=None, tile_f=None,
+                 interpret=False, saliency=None):
     """Streamed complex-Bingham-MM EM for signals too long for the
     whole-fit kernel (ops/pallas_cbmm_loop.py).
 
     Semantics match the scan path (models/cbmm.py:_cbmm_fit_em):
-    per-bin weights, E-step ``affiliation_eps`` clip, and the SAME
+    per-bin or frequency-constant weights (``weight_mode``), E-step
+    ``affiliation_eps`` clip, and the SAME
     moment inversion — cold 50-step damped Newton on the first
     M-step, 16 warm chord steps after (models/complex_bingham.py:
     find_eigenvalues) — so parity with the scan path is tight.
@@ -456,7 +487,8 @@ def cbmm_em_long(y_re, y_im, affiliation, *, iterations,
         _stream_machinery(
             y_re, y_im, affiliation, saliency, family='bingham', K=K,
             tile_t=tile_t, tile_f=tile_f,
-            affiliation_eps=affiliation_eps, interpret=interpret))
+            affiliation_eps=affiliation_eps, interpret=interpret,
+            weight_mode=weight_mode))
     D, T = meta['D'], meta['T']
     tile_tt, tile_ff = meta['tile_t'], meta['tile_f']
     t_pad = -(-T // tile_tt) * tile_tt
@@ -498,7 +530,7 @@ def cbmm_em_long(y_re, y_im, affiliation, *, iterations,
             # kernel assembles B with lam indexed (direction, K, lane):
             # transpose (FB, K, D) -> (D, K, f_pad)
             pad_planes(lam, 1),
-            pad_planes(lognorm, 0), pad_planes(weight, 0),
+            pad_planes(lognorm, 0), meta['weight_planes'](weight),
         ]
         s_re, s_im, asum = run_stats(planes, step_specs,
                                      from_init=False)
@@ -510,7 +542,8 @@ def cbmm_em_long(y_re, y_im, affiliation, *, iterations,
 
     if meta['batched']:
         B, F = meta['B'], meta['F']
-        return (weight.reshape(B, F, K),
-                lam.reshape(B, F, K, D),
+        if weight_mode == 'per_bin':
+            weight = weight.reshape(B, F, K)
+        return (weight, lam.reshape(B, F, K, D),
                 vec.reshape(B, F, K, D, D))
     return weight, lam, vec

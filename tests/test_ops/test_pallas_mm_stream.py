@@ -212,6 +212,52 @@ def test_cbmm_trainer_routes_long_signal():
         rtol=2e-2, atol=0.5)
 
 
+@pytest.mark.slow
+def test_cwmm_stream_fc_matches_scan():
+    """Frequency-constant weights (``weight_constant_axis=(-3, -1)``,
+    the cross-shard psum mode) through the streamed kernel."""
+    T = 100
+    y = _mixture(seed=8, T=T)
+    aff0 = _aff0(18, T=T)
+    m_scan = CWMMTrainer().fit(
+        y, initialization=aff0, iterations=3,
+        weight_constant_axis=(-3, -1), use_fused_em=False)
+    y_dt = jnp.swapaxes(y, -2, -1)
+    weight, mode, kappa = cwmm_em_long(
+        y_dt.real, y_dt.imag, aff0, iterations=3, weight_mode='fc',
+        tile_t=64, tile_f=128, interpret=True)
+    assert weight.shape == (K,)
+    assert m_scan.weight.shape == (1, K, 1)
+    assert_allclose(np.asarray(weight),
+                    np.asarray(m_scan.weight[0, :, 0]), atol=1e-4)
+    assert_allclose(np.asarray(kappa),
+                    np.asarray(m_scan.complex_watson.concentration),
+                    rtol=5e-3, atol=1e-2)
+    _assert_modes_aligned(mode, m_scan.complex_watson.mode)
+
+
+@pytest.mark.slow
+def test_cbmm_stream_fc_matches_scan():
+    T = 100
+    y = _mixture(seed=9, T=T)
+    aff0 = _aff0(19, T=T)
+    m_scan = CBMMTrainer().fit(
+        y, initialization=aff0, iterations=3,
+        weight_constant_axis=(-3, -1), use_fused_em=False)
+    y_dt = jnp.swapaxes(y, -2, -1)
+    weight, lam, vec = cbmm_em_long(
+        y_dt.real, y_dt.imag, aff0, iterations=3, weight_mode='fc',
+        tile_t=64, tile_f=128, interpret=True)
+    assert weight.shape == (K,)
+    assert_allclose(np.asarray(weight),
+                    np.asarray(m_scan.weight[0, :, 0]), atol=2e-3)
+    assert_allclose(
+        _bingham_cov(lam, vec),
+        _bingham_cov(m_scan.complex_bingham.covariance_eigenvalues,
+                     m_scan.complex_bingham.covariance_eigenvectors),
+        rtol=2e-2, atol=0.5)
+
+
 def test_choose_tiles_mm_bounds():
     assert choose_tiles_mm(6, 3, family='watson')[1]
     assert choose_tiles_mm(6, 3, family='bingham')[1]
