@@ -143,6 +143,21 @@ def test_input_batch_matches_host_loop():
                             err_msg=key)
 
 
+def test_input_batch_without_sample_rate():
+    """Regression: mir_eval must work without a sample rate (BSS-Eval
+    alone, mirroring the single-utterance facade); stoi must fail
+    with a clear message instead of an opaque int(None) TypeError."""
+    rng = np.random.RandomState(11)
+    obs = rng.randn(2, 3, 2048)
+    sources = rng.randn(2, 2, 2048)
+    batch = InputMetricsBatch(observation=obs, speech_source=sources)
+    sdr = batch.mir_eval_sdr
+    assert sdr.shape == (2, 2, 3)
+    assert np.all(np.isfinite(sdr))
+    with pytest.raises(AssertionError, match='sample rate'):
+        _ = batch.stoi
+
+
 @pytest.mark.slow
 def test_large_batch_srmr():
     """The host srmr/pesq < 30 leading-axis heuristic must not fire

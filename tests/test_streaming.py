@@ -88,6 +88,14 @@ def test_snapshot_resume_continues_exactly():
     with pytest.raises(AssertionError, match='mismatch'):
         StreamingSeparator(num_classes=3,
                            block_frames=16).load_state_dict(state)
+    # regression: inner_iterations / aligner are config too — a
+    # resume with different values used to pass the check and
+    # silently diverge from the bit-identical promise
+    with pytest.raises(AssertionError, match='mismatch'):
+        StreamingSeparator(
+            inner_iterations=2, **kwargs).load_state_dict(state)
+    with pytest.raises(AssertionError, match='mismatch'):
+        StreamingSeparator(align=False, **kwargs).load_state_dict(state)
 
 
 def test_snapshot_resume_beamformed():
