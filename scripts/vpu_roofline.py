@@ -2,9 +2,12 @@
 (VERDICT r4 #4: substantiate — or refute — the 'tens of percent'
 practical-MFU ceiling with a microbenchmark).
 
-Three single-kernel Pallas microbenchmarks on VMEM-resident f32
-planes, each with 4 independent accumulator chains (throughput, not
-latency):
+Four single-kernel Pallas microbenchmarks on VMEM-resident f32
+planes, each with independent accumulator chains (throughput, not
+latency; the chain count is swept for 'fma' to show the plateau —
+within a chain every rep is dependent, but one rep over a (512, 512)
+plane is already 256 independent vector registers of work, so the
+sweep separates genuine VMEM/ALU throughput from dependency stalls):
 
   fma   — a*x+b fused multiply-add            (2 FLOP/elem/rep)
   exp   — exp(small*acc)                      (1 transcendental/rep)
@@ -37,8 +40,11 @@ CHAINS = 4
 REPS = 2000
 
 
-def _bench_kernel(x_ref, o_ref, *, reps, op):
-    accs = [x_ref[...] * (0.5 + 0.1 * i) for i in range(CHAINS)]
+def _bench_kernel(x_ref, o_ref, *, reps, op, chains=CHAINS):
+    # VMEM stack budget: chains live (s, L) f32 planes + in/out
+    # blocks must fit the 16 MB scoped limit — the caller shrinks the
+    # sublane dim as the chain count grows.
+    accs = [x_ref[...] * (0.5 + 0.1 * i) for i in range(chains)]
     x = x_ref[...]
 
     def body(i, accs):
@@ -50,6 +56,13 @@ def _bench_kernel(x_ref, o_ref, *, reps, op):
                 a = jnp.exp(-1e-6 * a)
             elif op == 'recip':
                 a = 1.0 / (a + 1.5)
+            elif op == 'fma12':
+                # register-resident FMA chain: 12 arithmetic ops per
+                # loaded element — measures the ALU rate with VMEM
+                # traffic amortized (the regime the fused EM kernel
+                # operates in: ~520 FLOPs per loaded posterior elem)
+                for _ in range(12):
+                    a = a * x + 1e-6
             elif op == 'mix':
                 # per rep: 12 FMA-class + exp + log + recip + 2 max
                 for _ in range(6):
@@ -71,11 +84,12 @@ def _bench_kernel(x_ref, o_ref, *, reps, op):
     o_ref[...] = acc
 
 
-@functools.partial(jax.jit, static_argnames=('reps', 'op'))
-def run_bench(x, *, reps, op):
+@functools.partial(jax.jit, static_argnames=('reps', 'op', 'chains'))
+def run_bench(x, *, reps, op, chains=CHAINS):
     out = pl.pallas_call(
-        functools.partial(_bench_kernel, reps=reps, op=op),
-        out_shape=jax.ShapeDtypeStruct((S, L), jnp.float32),
+        functools.partial(_bench_kernel, reps=reps, op=op,
+                          chains=chains),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
     )(x)
     return jnp.sum(out)
 
@@ -85,6 +99,7 @@ def run_bench(x, *, reps, op):
 # separately)
 OP_COUNTS = {
     'fma': 2.0,            # mul + add
+    'fma12': 24.0,         # 12 chained FMAs per loaded element
     'exp': 1.0,
     'recip': 1.0,
     'mix': 12 * 2 + 1 + 1 + 1 + 2 + 3,   # 12 FMA=24fl + exp/log/recip
@@ -105,30 +120,46 @@ def main():
     rng = np.random.default_rng(0)
     n_calls = 8
     results = {}
-    for op in ('fma', 'exp', 'recip', 'mix'):
+
+    def measure(op, chains):
+        # constant TOTAL work: plane shrinks as chains grow (also
+        # keeps chains x plane under the 16 MB scoped-VMEM stack)
+        s = (S * CHAINS) // chains
         inputs = [jnp.asarray(
-            (0.99 + 0.001 * rng.standard_normal((S, L))).astype(
+            (0.99 + 0.001 * rng.standard_normal((s, L))).astype(
                 np.float32)) for _ in range(n_calls)]
         _ = np.asarray(fetch(sum(x.sum() for x in inputs)))
-        _ = np.asarray(fetch(run_bench(inputs[0], reps=REPS, op=op)))
+        _ = np.asarray(fetch(
+            run_bench(inputs[0], reps=REPS, op=op, chains=chains)))
         start = time.perf_counter()
-        acc = sum(run_bench(x, reps=REPS, op=op) for x in inputs)
+        acc = sum(run_bench(x, reps=REPS, op=op, chains=chains)
+                  for x in inputs)
         _ = np.asarray(fetch(acc))
         dt = (time.perf_counter() - start) / n_calls
-        elems = S * L * CHAINS * REPS
+        elems = s * L * chains * REPS
         ops = elems * OP_COUNTS[op]
-        results[op] = ops / dt
-        print(f'{op:6s}: {dt * 1e3:7.2f} ms/call -> '
+        print(f'{op:6s} x{chains:<2d} ({s}x{L}): '
+              f'{dt * 1e3:7.2f} ms/call -> '
               f'{ops / dt / 1e12:6.2f} Tops/s '
-              f'({elems / dt / 1e12:.2f} Gelem-rep/s)', flush=True)
+              f'({elems / dt / 1e12:.2f} Telem-rep/s)', flush=True)
+        return ops / dt
 
-    # EM op-mix ceiling: one fused EM iteration spends, per posterior
-    # element, ~24 FMA-FLOPs + 1 exp + 1 log + 1 recip + 2 max (the
-    # 'mix' kernel). Its measured rate IS the ceiling for the EM
-    # kernel's instruction blend.
-    print(f"\nEM op-mix ceiling (measured): "
-          f"{results['mix'] / 1e12:.2f} TFLOP-equiv/s; "
-          f"pure-FMA VPU rate {results['fma'] / 1e12:.2f} TFLOP/s",
+    # dependency-vs-throughput: sweep the chain count for fma
+    for chains in (2, 4, 8):
+        measure('fma', chains)
+    for op in ('fma', 'fma12', 'exp', 'recip', 'mix'):
+        results[op] = measure(op, CHAINS)
+
+    # One fused EM iteration spends ~520 FLOPs per (K, T, F')
+    # posterior element (bench.py:em_flops_per_iteration / F*K*T —
+    # the D^2-scaled projection + scatter dominate) against ONE
+    # exp/log/recip set, so its ceiling is essentially the
+    # register-resident FMA rate ('fma12'), not the 24:1 'mix' rate.
+    print(f"\nmeasured rates: elementwise-VMEM-bound "
+          f"{results['fma'] / 1e12:.2f} TFLOP/s, register-resident "
+          f"FMA {results['fma12'] / 1e12:.2f} TFLOP/s (the EM-kernel "
+          f"ceiling), 24FLOP:1-transcendental blend "
+          f"{results['mix'] / 1e12:.2f} TFLOP-equiv/s",
           flush=True)
 
 
