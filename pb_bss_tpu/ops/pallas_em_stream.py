@@ -45,13 +45,11 @@ __all__ = ['cacgmm_em_long', 'choose_tiles']
 _TINY = float(np.finfo(np.float32).tiny)
 
 
-def choose_tiles(d, k, *, has_sal=False, has_mask=False,
-                 vmem_budget=10 * 2 ** 20):
-    """(tile_t, tile_f) for the streamed E+stats kernel: fix a
-    512-frame time block (large enough to amortize block switches,
-    small enough to leave lanes) and take the widest feasible lane
-    tile. Blocks double-buffer (count 2x)."""
-    tile_t = 512
+def _per_lane_floats(d, k, tile_t, *, has_sal, has_mask, init):
+    """f32 values per lane live in VMEM for one launch layout
+    (double-buffered blocks count 2x). The per-iteration pass streams
+    the model planes; the one-shot from_init pass streams aff0/qf0 as
+    (K, tile_t, tile_f) blocks instead."""
     common = (
         2 * (2 * d * tile_t                       # y blocks
              + (tile_t if has_sal else 0)
@@ -59,16 +57,45 @@ def choose_tiles(d, k, *, has_sal=False, has_mask=False,
         + 2 * (2 * d * d * k + k)                 # scatter + asum out
         + 2 * k * tile_t                          # aff/qf live values
     )
-    # the two launch layouts differ in their remaining inputs: the
-    # per-iteration pass streams the model planes, the from_init pass
-    # streams aff0/qf0 as (K, tile_t, tile_f) blocks — size against
-    # the worse of the two
     step_in = 2 * (2 * d * d * k + d * k + 2 * k)  # V, inv, logdet, w
     init_in = 2 * (2 * k * tile_t)                 # aff0 + qf0 blocks
-    per_lane = 4 * (common + max(step_in, init_in))
+    return common + (init_in if init else step_in)
+
+
+def choose_tiles(d, k, *, has_sal=False, has_mask=False,
+                 vmem_budget=10 * 2 ** 20):
+    """(tile_t, tile_f) for the streamed E+stats kernel: fix a
+    512-frame time block (large enough to amortize block switches,
+    small enough to leave lanes) and take the widest feasible lane
+    tile against the PER-ITERATION layout. The one-shot from_init
+    launch is budgeted separately (`choose_init_tile_t`): it shrinks
+    its own time block rather than shrinking the lane tile every
+    iteration pays for."""
+    tile_t = 512
+    per_lane = 4 * _per_lane_floats(
+        d, k, tile_t, has_sal=has_sal, has_mask=has_mask, init=False)
     tiles_f = [tf for tf in (512, 256, 128)
-               if tf * per_lane <= vmem_budget]
+               if tf * per_lane <= vmem_budget
+               and choose_init_tile_t(
+                   d, k, has_sal=has_sal, has_mask=has_mask,
+                   vmem_budget=vmem_budget, tile_f=tf,
+                   tile_t=tile_t) is not None]
     return (tile_t, tiles_f)
+
+
+def choose_init_tile_t(d, k, *, tile_f, tile_t=512, has_sal=False,
+                       has_mask=False, vmem_budget=10 * 2 ** 20):
+    """Largest time block (a divisor of ``tile_t``, so the staged
+    padding serves both launches) whose from_init layout fits the
+    budget at ``tile_f``; None if even 8 frames do not fit."""
+    tt = tile_t
+    while tt >= 8:
+        per_lane = 4 * _per_lane_floats(
+            d, k, tt, has_sal=has_sal, has_mask=has_mask, init=True)
+        if tile_f * per_lane <= vmem_budget:
+            return tt
+        tt //= 2
+    return None
 
 
 def _e_stats_stream_kernel(*refs, d, k, t_real, f_real, tile_t,
@@ -275,6 +302,16 @@ def cacgmm_em_long(y_re, y_im, affiliation, quadratic_form, *,
     t_pad = -(-T // tile_t) * tile_t
     f_pad = -(-FB // tile_f) * tile_f
     grid = (f_pad // tile_f, t_pad // tile_t)
+    # the one-shot from_init launch streams aff0/qf0 blocks on top of
+    # the y blocks; it takes a smaller time block (a divisor of
+    # tile_t, so t_pad serves both launches) to stay inside the same
+    # VMEM budget instead of narrowing the per-iteration lane tile
+    tile_t_init = choose_init_tile_t(
+        D, K, tile_f=tile_f, tile_t=tile_t,
+        has_sal=has_sal, has_mask=has_mask)
+    assert tile_t_init is not None and tile_t % tile_t_init == 0, (
+        tile_t, tile_t_init)
+    grid_init = (f_pad // tile_f, t_pad // tile_t_init)
     rdtype = jnp.float32
 
     y_re_s = _stage_planes(y_re_f, t_pad, f_pad)
@@ -286,13 +323,19 @@ def cacgmm_em_long(y_re, y_im, affiliation, quadratic_form, *,
              else _stage_planes(source_activity_mask.astype(rdtype),
                                 t_pad, f_pad))
 
-    y_specs = [
-        pl.BlockSpec((D, tile_t, tile_f), lambda i, j: (0, j, i)),
-        pl.BlockSpec((D, tile_t, tile_f), lambda i, j: (0, j, i)),
-    ]
-    sal_spec = [pl.BlockSpec((tile_t, tile_f), lambda i, j: (j, i))]
-    sam_spec = [
-        pl.BlockSpec((K, tile_t, tile_f), lambda i, j: (0, j, i))]
+    def y_specs_of(tt):
+        return [
+            pl.BlockSpec((D, tt, tile_f), lambda i, j: (0, j, i)),
+            pl.BlockSpec((D, tt, tile_f), lambda i, j: (0, j, i)),
+        ]
+
+    def extra_specs_of(tt):
+        sal_spec = [pl.BlockSpec((tt, tile_f), lambda i, j: (j, i))]
+        sam_spec = [
+            pl.BlockSpec((K, tt, tile_f), lambda i, j: (0, j, i))]
+        return (sal_spec if has_sal else []) + (
+            sam_spec if has_mask else [])
+
     model_specs = [
         pl.BlockSpec((D, D, K, tile_f), lambda i, j: (0, 0, 0, i)),
         pl.BlockSpec((D, D, K, tile_f), lambda i, j: (0, 0, 0, i)),
@@ -311,17 +354,15 @@ def cacgmm_em_long(y_re, y_im, affiliation, quadratic_form, *,
         jax.ShapeDtypeStruct((K, f_pad), rdtype),
     ]
     extra = ([sal_s] if has_sal else []) + ([sam_s] if has_mask else [])
-    extra_specs = (sal_spec if has_sal else []) + (
-        sam_spec if has_mask else [])
 
-    def run_stats(operands, in_specs, from_init):
+    def run_stats(operands, in_specs, from_init, tt, launch_grid):
         kernel = functools.partial(
             _e_stats_stream_kernel, d=D, k=K, t_real=T, f_real=FB,
-            tile_t=tile_t, tile_f=tile_f,
+            tile_t=tt, tile_f=tile_f,
             affiliation_eps=float(affiliation_eps), tiny=_TINY,
             has_sal=has_sal, has_mask=has_mask, from_init=from_init)
         s_re, s_im, asum = pl.pallas_call(
-            kernel, grid=grid, in_specs=in_specs,
+            kernel, grid=launch_grid, in_specs=in_specs,
             out_specs=out_specs, out_shape=out_shapes,
             interpret=interpret,
         )(*operands)
@@ -401,13 +442,14 @@ def cacgmm_em_long(y_re, y_im, affiliation, quadratic_form, *,
         aff_s = _stage_planes(affiliation, t_pad, f_pad)
         qf_s = _stage_planes(quadratic_form, t_pad, f_pad,
                              constant_values=1.0)
-        in_specs = y_specs + [
-            pl.BlockSpec((K, tile_t, tile_f), lambda i, j: (0, j, i)),
-            pl.BlockSpec((K, tile_t, tile_f), lambda i, j: (0, j, i)),
-        ] + extra_specs
+        tti = tile_t_init
+        in_specs = y_specs_of(tti) + [
+            pl.BlockSpec((K, tti, tile_f), lambda i, j: (0, j, i)),
+            pl.BlockSpec((K, tti, tile_f), lambda i, j: (0, j, i)),
+        ] + extra_specs_of(tti)
         s_re, s_im, asum = run_stats(
             [y_re_s, y_im_s, aff_s, qf_s] + extra, in_specs,
-            from_init=True)
+            from_init=True, tt=tti, launch_grid=grid_init)
         eigenvalues, eigenvectors, asum_b = finish_m(s_re, s_im, asum)
         weight = weight_of(asum_b)
         n_steps = iterations - 1
@@ -425,14 +467,15 @@ def cacgmm_em_long(y_re, y_im, affiliation, quadratic_form, *,
             weight = init_weight
         n_steps = iterations
 
-    step_in_specs = y_specs + model_specs + extra_specs
+    step_in_specs = (y_specs_of(tile_t) + model_specs
+                     + extra_specs_of(tile_t))
 
     def step(carry, _):
         eigenvalues, eigenvectors, weight = carry
         planes = stage_model(eigenvalues, eigenvectors, weight)
         s_re, s_im, asum = run_stats(
             [y_re_s, y_im_s, *planes] + extra, step_in_specs,
-            from_init=False)
+            from_init=False, tt=tile_t, launch_grid=grid)
         eigenvalues, eigenvectors, asum_b = finish_m(s_re, s_im, asum)
         return (eigenvalues, eigenvectors, weight_of(asum_b)), None
 

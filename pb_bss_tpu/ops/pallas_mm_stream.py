@@ -45,18 +45,9 @@ __all__ = ['cwmm_em_long', 'cbmm_em_long', 'choose_tiles_mm']
 _TINY = float(np.finfo(np.float32).tiny)
 
 
-def choose_tiles_mm(d, k, *, family, has_sal=False,
-                    vmem_budget=10 * 2 ** 20):
-    """(tile_t, feasible tile_f list) for the streamed E+stats kernel.
-
-    Same policy as pallas_em_stream.choose_tiles: 512-frame time
-    blocks, widest feasible lane tile, double-buffered blocks count
-    twice, sized against the worse of the two launch layouts (the
-    per-iteration pass streams the model planes, the from-init pass
-    streams the aff0 block).
-    """
-    assert family in ('watson', 'bingham'), family
-    tile_t = 512
+def _per_lane_floats_mm(d, k, tile_t, *, family, has_sal, init):
+    """f32 values per lane live in VMEM for one launch layout
+    (double-buffered blocks count 2x)."""
     common = (
         2 * (2 * d * tile_t                       # y blocks
              + (tile_t if has_sal else 0))
@@ -68,10 +59,46 @@ def choose_tiles_mm(d, k, *, family, has_sal=False,
     else:
         step_in = 2 * (2 * d * d * k + d * k + 2 * k)  # V, lam, c, w
     init_in = 2 * (k * tile_t)                    # aff0 block
-    per_lane = 4 * (common + max(step_in, init_in))
+    return common + (init_in if init else step_in)
+
+
+def choose_tiles_mm(d, k, *, family, has_sal=False,
+                    vmem_budget=10 * 2 ** 20):
+    """(tile_t, feasible tile_f list) for the streamed E+stats kernel.
+
+    Same policy as pallas_em_stream.choose_tiles: 512-frame time
+    blocks, widest lane tile feasible for the PER-ITERATION layout;
+    the one-shot from-init launch (which streams the aff0 block on
+    top) is budgeted separately via `choose_init_tile_t_mm` and
+    shrinks its own time block instead of narrowing the lane tile
+    every iteration pays for.
+    """
+    assert family in ('watson', 'bingham'), family
+    tile_t = 512
+    per_lane = 4 * _per_lane_floats_mm(
+        d, k, tile_t, family=family, has_sal=has_sal, init=False)
     tiles_f = [tf for tf in (512, 256, 128)
-               if tf * per_lane <= vmem_budget]
+               if tf * per_lane <= vmem_budget
+               and choose_init_tile_t_mm(
+                   d, k, family=family, tile_f=tf, tile_t=tile_t,
+                   has_sal=has_sal,
+                   vmem_budget=vmem_budget) is not None]
     return (tile_t, tiles_f)
+
+
+def choose_init_tile_t_mm(d, k, *, family, tile_f, tile_t=512,
+                          has_sal=False, vmem_budget=10 * 2 ** 20):
+    """Largest time block (a divisor of ``tile_t``) whose from-init
+    layout fits the budget at ``tile_f``; None if even 8 frames do
+    not fit."""
+    tt = tile_t
+    while tt >= 8:
+        per_lane = 4 * _per_lane_floats_mm(
+            d, k, tt, family=family, has_sal=has_sal, init=True)
+        if tile_f * per_lane <= vmem_budget:
+            return tt
+        tt //= 2
+    return None
 
 
 def _mm_stats_stream_kernel(*refs, family, d, k, t_real, f_real,
@@ -255,6 +282,14 @@ def _stream_machinery(y_re, y_im, affiliation, saliency, *, family,
     t_pad = -(-T // tile_t) * tile_t
     f_pad = -(-FB // tile_f) * tile_f
     grid = (f_pad // tile_f, t_pad // tile_t)
+    # the one-shot from-init launch uses its own (smaller) time block
+    # so both launch layouts honor the same VMEM budget
+    tile_t_init = choose_init_tile_t_mm(
+        D, K, family=family, tile_f=tile_f, tile_t=tile_t,
+        has_sal=has_sal)
+    assert tile_t_init is not None and tile_t % tile_t_init == 0, (
+        tile_t, tile_t_init)
+    grid_init = (f_pad // tile_f, t_pad // tile_t_init)
 
     y_re_s = _stage_planes(y_re_f, t_pad, f_pad)
     y_im_s = _stage_planes(y_im_f, t_pad, f_pad)
@@ -262,11 +297,16 @@ def _stream_machinery(y_re, y_im, affiliation, saliency, *, family,
         jnp.transpose(saliency.astype(jnp.float32), (1, 0)),
         ((0, t_pad - T), (0, f_pad - FB))))
 
-    y_specs = [
-        pl.BlockSpec((D, tile_t, tile_f), lambda i, j: (0, j, i)),
-        pl.BlockSpec((D, tile_t, tile_f), lambda i, j: (0, j, i)),
-    ]
-    sal_spec = [pl.BlockSpec((tile_t, tile_f), lambda i, j: (j, i))]
+    def y_specs_of(tt):
+        return [
+            pl.BlockSpec((D, tt, tile_f), lambda i, j: (0, j, i)),
+            pl.BlockSpec((D, tt, tile_f), lambda i, j: (0, j, i)),
+        ]
+
+    def extra_specs_of(tt):
+        return ([pl.BlockSpec((tt, tile_f), lambda i, j: (j, i))]
+                if has_sal else [])
+
     out_specs = [
         pl.BlockSpec((D, D, K, tile_f), lambda i, j: (0, 0, 0, i)),
         pl.BlockSpec((D, D, K, tile_f), lambda i, j: (0, 0, 0, i)),
@@ -278,17 +318,17 @@ def _stream_machinery(y_re, y_im, affiliation, saliency, *, family,
         jax.ShapeDtypeStruct((K, f_pad), jnp.float32),
     ]
     extra = [sal_s] if has_sal else []
-    extra_specs = sal_spec if has_sal else []
 
     def run_stats(operands, in_specs, from_init):
+        tt = tile_t_init if from_init else tile_t
         kernel = functools.partial(
             _mm_stats_stream_kernel, family=family, d=D, k=K, t_real=T,
-            f_real=FB, tile_t=tile_t, tile_f=tile_f,
+            f_real=FB, tile_t=tt, tile_f=tile_f,
             affiliation_eps=float(affiliation_eps), tiny=_TINY,
             has_sal=has_sal, from_init=from_init)
         return pl.pallas_call(
-            kernel, grid=grid,
-            in_specs=y_specs + in_specs + extra_specs,
+            kernel, grid=grid_init if from_init else grid,
+            in_specs=y_specs_of(tt) + in_specs + extra_specs_of(tt),
             out_specs=out_specs, out_shape=out_shapes,
             interpret=interpret,
         )(y_re_s, y_im_s, *operands, *extra)
@@ -351,6 +391,7 @@ def _stream_machinery(y_re, y_im, affiliation, saliency, *, family,
 
     meta = dict(batched=batched, B=B, F=F, D=D, T=T, FB=FB,
                 f_pad=f_pad, tile_f=tile_f, tile_t=tile_t,
+                tile_t_init=tile_t_init,
                 affiliation=affiliation, weight_planes=weight_planes)
     return run_stats, scatter_of, weight_of, pad_planes, fold, meta
 
@@ -417,7 +458,8 @@ def cwmm_em_long(y_re, y_im, affiliation, *, iterations,
     aff_s = _stage_planes(
         meta['affiliation'], t_pad, meta['f_pad'])
     s_re, s_im, asum = run_stats(
-        [aff_s], _AFF_SPEC(K, tile_tt, tile_ff), from_init=True)
+        [aff_s], _AFF_SPEC(K, meta['tile_t_init'], tile_ff),
+        from_init=True)
     mode, kappa, weight = finish_m(s_re, s_im, asum)
 
     step_specs = [
@@ -508,7 +550,8 @@ def cbmm_em_long(y_re, y_im, affiliation, *, iterations,
     aff_s = _stage_planes(
         meta['affiliation'], t_pad, meta['f_pad'])
     s_re, s_im, asum = run_stats(
-        [aff_s], _AFF_SPEC(K, tile_tt, tile_ff), from_init=True)
+        [aff_s], _AFF_SPEC(K, meta['tile_t_init'], tile_ff),
+        from_init=True)
     lam, vec, weight = finish_m(s_re, s_im, asum)
 
     step_specs = [

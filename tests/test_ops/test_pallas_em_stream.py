@@ -139,3 +139,59 @@ def test_stream_fit_predict():
                         use_fused_em=True, t_block=None)
     assert_allclose(np.asarray(aff),
                     np.asarray(model.predict(y)), atol=1e-5)
+
+
+def test_choose_tiles_production_shapes_feasible():
+    """Regression: sizing the lane tile against the worst-case launch
+    layout (the r5 ADVICE fix) silently removed the streamed kernel
+    at the bench shape (D=6, K=3) — no tile fit the budget and long
+    signals dropped to the scan path. The per-iteration layout now
+    picks the lane tile and the one-shot from_init launch shrinks its
+    own time block instead."""
+    from pb_bss_tpu.ops.pallas_em_stream import (
+        _per_lane_floats, choose_init_tile_t, choose_tiles,
+    )
+    # (6, 4)+saliency+mask and (8, 3) are over budget in the
+    # PER-ITERATION layout itself — legitimate scan fallbacks (true
+    # before and after the fix), not part of this pin
+    cases = [((3, 2), dict()), ((6, 2), dict()), ((6, 3), dict()),
+             ((6, 4), dict()),
+             ((3, 2), dict(has_sal=True, has_mask=True)),
+             ((6, 2), dict(has_sal=True, has_mask=True)),
+             ((6, 3), dict(has_sal=True, has_mask=True))]
+    for (d, k), knobs in cases:
+            tt, tfs = choose_tiles(d, k, **knobs)
+            assert tfs, (d, k, knobs)
+            tti = choose_init_tile_t(d, k, tile_f=tfs[-1], **knobs)
+            assert tti is not None and tt % tti == 0, (d, k, tti)
+            # both launch layouts honor the budget at the chosen tiles
+            budget = 10 * 2 ** 20
+            assert tfs[-1] * 4 * _per_lane_floats(
+                d, k, tt, init=False,
+                has_sal=knobs.get('has_sal', False),
+                has_mask=knobs.get('has_mask', False)) <= budget
+            assert tfs[-1] * 4 * _per_lane_floats(
+                d, k, tti, init=True,
+                has_sal=knobs.get('has_sal', False),
+                has_mask=knobs.get('has_mask', False)) <= budget
+
+
+@pytest.mark.slow
+def test_stream_bench_shape_parity():
+    """D=6, K=3 (the bench shape) exercises the smaller from_init
+    time block (tile_t_init=256 < tile_t=512)."""
+    rng = np.random.default_rng(11)
+    F6, D6, K6, T6 = 4, 6, 3, 700
+    atf = rng.standard_normal((F6, D6, K6)) + 1j * rng.standard_normal(
+        (F6, D6, K6))
+    s = rng.standard_normal((F6, K6, T6)) + 1j * rng.standard_normal(
+        (F6, K6, T6))
+    y = np.einsum('fdk,fkt->fdt', atf, s) + 0.3 * (
+        rng.standard_normal((F6, D6, T6))
+        + 1j * rng.standard_normal((F6, D6, T6)))
+    y = jnp.asarray(np.swapaxes(y, -2, -1).astype(np.complex64))
+    trainer = CACGMMTrainer()
+    common = dict(num_classes=K6, iterations=2, t_block=None)
+    m_stream = trainer.fit(y, use_fused_em=True, **common)
+    m_scan = trainer.fit(y, use_fused_em=False, **common)
+    _assert_close(m_stream, m_scan, atol=5e-4)

@@ -263,3 +263,26 @@ def test_choose_tiles_mm_bounds():
     assert choose_tiles_mm(6, 3, family='bingham')[1]
     with pytest.raises(AssertionError):
         choose_tiles_mm(6, 3, family='cacg')
+
+
+def test_choose_tiles_mm_both_layouts_fit_budget():
+    """Regression (r5): sizing the lane tile against the worst-case
+    launch made D>=7 infeasible; the from-init launch now shrinks its
+    own time block instead. Both layouts must honor the budget."""
+    from pb_bss_tpu.ops.pallas_mm_stream import (
+        _per_lane_floats_mm, choose_init_tile_t_mm,
+    )
+    budget = 10 * 2 ** 20
+    for family in ('watson', 'bingham'):
+        for d, k in ((3, 2), (6, 3), (8, 3)):
+            tt, tfs = choose_tiles_mm(d, k, family=family)
+            assert tfs, (family, d, k)
+            tti = choose_init_tile_t_mm(
+                d, k, family=family, tile_f=tfs[-1], tile_t=tt)
+            assert tti is not None and tt % tti == 0
+            assert tfs[-1] * 4 * _per_lane_floats_mm(
+                d, k, tt, family=family, has_sal=False,
+                init=False) <= budget
+            assert tfs[-1] * 4 * _per_lane_floats_mm(
+                d, k, tti, family=family, has_sal=False,
+                init=True) <= budget
