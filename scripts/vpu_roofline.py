@@ -162,6 +162,53 @@ def main():
           f"{results['mix'] / 1e12:.2f} TFLOP-equiv/s",
           flush=True)
 
+    # ---- platform ceilings: effective HBM + MXU ------------------
+    # (batched-in-one-program protocol; distinct inputs per rep)
+    nb = 8
+    NN = 4096
+
+    @jax.jit
+    def redsum2(x1, x2):
+        return (sum(jnp.sum(x) for x in x1)
+                + sum(jnp.sum(x) for x in x2))
+    mk_set = lambda: tuple(jnp.asarray(rng.standard_normal(
+        (NN, NN)).astype(np.float32)) for _ in range(nb))
+    xs1, xs2, xs3 = mk_set(), mk_set(), mk_set()
+    _ = np.asarray(fetch(sum(x.sum() for x in xs1)
+                         + sum(x.sum() for x in xs2)
+                         + sum(x.sum() for x in xs3)))
+    np.asarray(fetch(redsum2(xs2, xs3) + 0.0))   # compile+warm
+    start = time.perf_counter()
+    _ = np.asarray(fetch(redsum2(xs1, xs2) + 0.0))
+    dt = (time.perf_counter() - start) / (2 * nb)
+    print(f'effective HBM (64 MB read-reduce): '
+          f'{NN * NN * 4 / dt / 1e9:.0f} GB/s', flush=True)
+
+    NM, rm = 8192, 2
+    for prec, label in ((None, 'bf16-default'), ('float32', 'f32')):
+        @jax.jit
+        def mmsum(pairs, prec=prec):
+            if prec:
+                with jax.default_matmul_precision(prec):
+                    return sum(jnp.sum(a @ b) for a, b in pairs)
+            return sum(jnp.sum(a @ b) for a, b in pairs)
+        mk_pairs = lambda: tuple(
+            (jnp.asarray(rng.standard_normal(
+                (NM, NM)).astype(np.float32)),
+             jnp.asarray(rng.standard_normal(
+                 (NM, NM)).astype(np.float32)))
+            for _ in range(rm))
+        p1, p2 = mk_pairs(), mk_pairs()
+        _ = np.asarray(fetch(sum(a.sum() + b.sum() for a, b in p1)
+                             + sum(a.sum() + b.sum() for a, b in p2)))
+        np.asarray(fetch(mmsum(p1) + 0.0))
+        start = time.perf_counter()
+        acc = mmsum(p2)
+        _ = np.asarray(fetch(acc + 0.0))
+        dt = (time.perf_counter() - start) / rm
+        print(f'matmul {NM}^3 {label}: '
+              f'{2 * NM ** 3 / dt / 1e12:.1f} TFLOP/s', flush=True)
+
 
 if __name__ == '__main__':
     main()
