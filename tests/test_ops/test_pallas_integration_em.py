@@ -288,3 +288,50 @@ def test_fused_ineligible_on_cpu_auto():
 def test_choose_tile_f_rejects_oversized():
     assert choose_tile_f(6, 8, 3, 304) is not None
     assert choose_tile_f(6, 8, 3, 100_000) is None
+
+
+def test_integration_routing_matrix(monkeypatch):
+    """Dispatch pins for the integration trainers (the companion of
+    tests/test_models/test_cacgmm_routing.py): with the backend
+    reporting TPU, 'auto' picks the per-iteration kernel exactly for
+    the supported knob set, GCACGMM's 'full' covariance stays on the
+    scan (the measured negative decision in DESIGN's kernel table),
+    and 'loop' remains an explicit opt-in."""
+    import jax
+    import numpy as np
+    from pb_bss_tpu.models.vmfcacgmm import (
+        _fused_integration_eligible,
+        _resolve_fused_mode,
+    )
+
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    rng = np.random.default_rng(0)
+    F, T, D, E, K = 9, 60, 4, 5, 2
+    y = jnp.asarray(
+        (rng.standard_normal((F, T, D))
+         + 1j * rng.standard_normal((F, T, D))).astype(np.complex64))
+    emb = jnp.asarray(rng.standard_normal((F, T, E)).astype(np.float32))
+
+    def eligible(y=y, emb=emb, sal=None, wca=(-1,), inline_pa=False):
+        return _fused_integration_eligible(y, emb, K, sal, wca,
+                                           inline_pa)
+
+    assert eligible()
+    assert eligible(sal=jnp.ones((F, T)))
+    assert not eligible(wca=(-3, -1))     # global-weight mode: scan
+    assert not eligible(inline_pa=True)   # inline K!-PA: scan
+    assert not eligible(y=y.astype(jnp.complex128))
+
+    # 'auto' -> per-iteration kernel when eligible, never the
+    # whole-fit 'loop' (measured ~13x slower; docstring)
+    assert _resolve_fused_mode('auto', True, True) == 'step'
+    assert _resolve_fused_mode('auto', False, True) == 'off'
+    assert _resolve_fused_mode('loop', False, True) == 'loop'
+    assert _resolve_fused_mode(True, False, False) == 'step'
+    assert _resolve_fused_mode(False, True, True) == 'off'
+
+    # GCACGMM: vector covariances ride the kernel, 'full' does not
+    from pb_bss_tpu.models.gcacgmm import GCACGMMTrainer  # noqa: F401
+    import pb_bss_tpu.models.gcacgmm as mg
+    src = open(mg.__file__).read()
+    assert "covariance_type in ('spherical', 'diagonal')" in src
