@@ -69,9 +69,12 @@ def main():
             trainer = trainer_cls()
             return trainer.fit_predict(
                 obs, emb, num_classes=K, iterations=40, **kw)
-        # run_on_device keeps complex data off the host boundary
+        # run_on_device keeps complex data off the host boundary —
+        # pass HOST arrays: it splits complex leaves into real pairs
+        # itself (a jnp.asarray here would already be the forbidden
+        # complex transfer)
         return np.asarray(run_on_device(
-            run, jnp.asarray(observation), jnp.asarray(embedding)))
+            run, observation, jnp.asarray(embedding)))
 
     oracle = np.eye(K)[dominant]  # (F, T, K)
     oracle = np.moveaxis(oracle, -1, 1)  # (F, K, T)

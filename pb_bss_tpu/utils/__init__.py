@@ -73,6 +73,19 @@ def run_on_device(fn, *args):
     for leaf in flat_args:
         leaf = np.asarray(leaf) if not hasattr(leaf, 'dtype') else leaf
         if np.iscomplexobj(leaf):
+            if isinstance(leaf, jax.Array):
+                # Fetching a device complex array here would itself be
+                # the forbidden boundary transfer (and on affected
+                # backends it poisons every later transfer in the
+                # process) — fail fast with the remedy instead.
+                raise TypeError(
+                    'run_on_device received a DEVICE-resident complex '
+                    'array. Pass the host (NumPy) array instead — '
+                    'run_on_device splits complex leaves into real '
+                    'pairs at the boundary itself; transferring the '
+                    'complex array to the device beforehand defeats '
+                    'that and corrupts the transfer channel on '
+                    'tunneled TPU backends.')
             leaf = np.asarray(leaf)
             split_args.extend([
                 np.ascontiguousarray(leaf.real),

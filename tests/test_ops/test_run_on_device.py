@@ -2,6 +2,7 @@
 (pb_bss_tpu.utils.run_on_device) and to_numpy."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from numpy.testing import assert_allclose
 
 from pb_bss_tpu.utils import run_on_device, to_numpy
@@ -67,3 +68,13 @@ def test_run_on_device_pipeline_stage():
     assert Observation.dtype.kind == 'c'
     assert affiliation.shape[1] == 2
     assert_allclose(affiliation.sum(1), 1.0, rtol=1e-4)
+
+
+def test_rejects_device_resident_complex_input():
+    """A device complex array handed to run_on_device would itself be
+    the forbidden boundary transfer (and poisons the process on
+    tunneled backends) — it must fail fast with the remedy."""
+    import jax.numpy as jnp
+    y = jnp.asarray(np.ones((3, 2), np.complex64))
+    with pytest.raises(TypeError, match='host'):
+        run_on_device(lambda a: a + 1, y)
