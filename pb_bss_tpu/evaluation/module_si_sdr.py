@@ -36,15 +36,25 @@ def si_sdr(reference, estimation, *, allow_float32=False):
     >>> round(float(si_sdr(reference, reference * 2 + 1)), 6)
     6.370461
     """
+    if not allow_float32:
+        # Check the dtype contract on the INPUTS, before jnp.asarray:
+        # under x64-disabled JAX (any production process; only the
+        # test conftest enables x64) the conversion silently downcasts
+        # f64 -> f32, so a post-conversion assert could never pass
+        # there even though the caller held up the reference's f64
+        # input contract. The math then runs at the runtime's
+        # precision; the contract is about the data provided.
+        for name, x in (('reference', reference),
+                        ('estimation', estimation)):
+            dt = (x.dtype if hasattr(x, 'dtype')
+                  else np.asarray(x).dtype)
+            assert dt == np.float64, (
+                f'The reference requires float64 inputs for a '
+                f'meaningful SI-SDR ({name} has {dt}); pass '
+                f'allow_float32=True for on-device f32 evaluation.'
+            )
     estimation, reference = jnp.broadcast_arrays(
         jnp.asarray(estimation), jnp.asarray(reference))
-    if not allow_float32:
-        assert reference.dtype == jnp.float64, (
-            'The reference requires float64 inputs for a meaningful '
-            f'SI-SDR (got {reference.dtype}); pass allow_float32=True '
-            'for on-device f32 evaluation.'
-        )
-        assert estimation.dtype == jnp.float64, estimation.dtype
 
     reference_energy = jnp.sum(
         reference ** 2, axis=-1, keepdims=True)

@@ -102,8 +102,8 @@ def main():
     # --- restructured host facade end-to-end ------------------------
     from pb_bss_tpu.evaluation.wrapper import OutputMetrics
     dm = OutputMetrics(
-        speech_prediction=np.float64(estimation[0]),
-        speech_source=np.float64(reference[0]),
+        speech_prediction=np.asarray(estimation[0], np.float64),
+        speech_source=np.asarray(reference[0], np.float64),
         sample_rate=fs,
         enable_si_sdr=True,
     ).as_dict()

@@ -43,8 +43,10 @@ def main():
         y = np.einsum('fdk,fkt->fdt', atf, s) + 0.3 * (
             rng.standard_normal((F, D, T))
             + 1j * rng.standard_normal((F, D, T)))
-        y = np.swapaxes(y, -2, -1).astype(np.complex64)
-        return mk(jnp.asarray(y.real), jnp.asarray(y.imag))
+        # HOST complex — the caller stacks and crosses the boundary
+        # as real pairs (a device complex here could never be
+        # np.asarray'd back without the forbidden transfer)
+        return np.swapaxes(y, -2, -1).astype(np.complex64)
 
     trainer = CACGMMTrainer()
     WCA = (-3, -1)
@@ -55,7 +57,7 @@ def main():
              & jnp.isfinite(m.weight).all()).astype(jnp.float32))))
 
     # --- 1. fc per-iteration kernel, batched resume ---------------------
-    ys = [np.asarray(mixture(33, 40, seed=s)) for s in (1, 2)]
+    ys = [mixture(33, 40, seed=s) for s in (1, 2)]
     yb = mk(jnp.asarray(np.stack(ys).real), jnp.asarray(np.stack(ys).imag))
     t0 = time.time()
     m0 = trainer.fit(yb, num_classes=3, iterations=2,
@@ -68,7 +70,7 @@ def main():
           flush=True)
 
     # --- 2. streamed long-T kernel, batched fc resume -------------------
-    ys = [np.asarray(mixture(9, 1200, D=3, seed=s)) for s in (3, 4)]
+    ys = [mixture(9, 1200, D=3, seed=s) for s in (3, 4)]
     yb = mk(jnp.asarray(np.stack(ys).real), jnp.asarray(np.stack(ys).imag))
     t0 = time.time()
     m0 = trainer.fit(yb, num_classes=2, iterations=2,

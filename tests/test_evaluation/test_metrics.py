@@ -343,3 +343,43 @@ class TestWrappers:
                 noise_contribution=np.zeros((2, source.shape[1])),
                 sample_rate=8000,
             )
+
+
+def test_si_sdr_dtype_contract_checked_on_inputs():
+    """Regression: the f64 assert ran AFTER jnp.asarray, which under
+    x64-disabled JAX (any production process) silently downcasts
+    f64 -> f32 — so a caller honoring the f64 input contract was
+    rejected anyway. The contract is now checked on the inputs."""
+    import pytest
+    from pb_bss_tpu.evaluation import si_sdr
+
+    ref = np.random.RandomState(0).randn(2, 200)
+    est = ref + 0.1 * np.random.RandomState(1).randn(2, 200)
+
+    # f64 inputs satisfy the contract regardless of runtime precision
+    out = np.asarray(si_sdr(ref, est))
+    assert out.shape == (2,) and np.isfinite(out).all()
+
+    # f32 inputs are rejected without the explicit opt-in
+    with pytest.raises(AssertionError, match='float64'):
+        si_sdr(ref.astype(np.float32), est.astype(np.float32))
+    out32 = np.asarray(si_sdr(ref.astype(np.float32),
+                              est.astype(np.float32),
+                              allow_float32=True))
+    assert np.isfinite(out32).all()
+
+
+def test_output_metrics_si_sdr_f32_device_inputs():
+    """The facades mirror OutputMetricsBatch: f32 inputs (the
+    device-first evaluation mode) opt into allow_float32
+    automatically instead of tripping the reference's f64 assert."""
+    from pb_bss_tpu.evaluation.wrapper import OutputMetrics
+
+    rng = np.random.RandomState(3)
+    ref = rng.randn(2, 2000)
+    est = ref + 0.2 * rng.randn(2, 2000)
+    m = OutputMetrics(
+        speech_prediction=est.astype(np.float32),
+        speech_source=ref.astype(np.float32),
+        sample_rate=8000, enable_si_sdr=True)
+    assert np.isfinite(np.asarray(m.si_sdr)).all()
