@@ -214,7 +214,16 @@ def apply_inline_permutation_alignment(
         'Inline permutation alignment requires (F, K, T) affiliations, '
         f'got {affiliation.shape}.'
     )
-    assert weight_constant_axis in ((-3,), (-3, -1), -3), weight_constant_axis
+    assert weight_constant_axis in ((-3,), (-3, -1), -3), (
+        'Inline permutation alignment exists to reduce the mismatch '
+        'between frequency-INDEPENDENT mixture weights and the '
+        'per-frequency observation model, so it requires a '
+        'frequency-constant weight_constant_axis ((-3,) or (-3, -1)); '
+        f'got {weight_constant_axis}. With per-bin weights the model '
+        'is invariant under per-bin class relabeling — fit without '
+        'the inline aligner and align the result instead (reference '
+        'mixture_model_utils.py:264-306 enforces the same).'
+    )
 
     a_kft = jnp.transpose(affiliation, (1, 0, 2))
     mapping = aligner.calculate_mapping(a_kft)

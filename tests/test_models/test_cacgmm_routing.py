@@ -121,3 +121,22 @@ def test_use_fused_em_false_routes_scan(route_of):
 
 def test_batched_short_routes_whole_fit(route_of):
     assert route_of(_y(300, batch=2)) == 'whole'
+
+
+def test_per_bin_inline_aligner_rejected_like_reference():
+    """The reference restricts inline PA to frequency-constant weight
+    axes (mixture_model_utils.py:264-306): with per-bin weights the
+    model is invariant under per-bin class relabeling, so inline
+    alignment would be statistically meaningless. Executing the
+    combination (not just routing it) must raise with that
+    explanation."""
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(
+        (rng.standard_normal((F, 40, 3))
+         + 1j * rng.standard_normal((F, 40, 3))).astype(np.complex64))
+    aligner = DHTVPermutationAlignment.from_stft_size(512)
+    with pytest.raises(AssertionError,
+                       match='frequency-constant weight_constant'):
+        CACGMMTrainer().fit(
+            y, num_classes=2, iterations=2,
+            inline_permutation_aligner=aligner, t_block=None)
