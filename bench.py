@@ -651,10 +651,12 @@ def em_flops_per_iteration(f=F, k=K, t=T, d=D, eigh_sweeps=2.2):
 # peak of a TPU v5e-class chip (bf16 peak 1.97e14). Override with
 # BENCH_PEAK_FLOPS when the chip is known.
 PEAK_FLOPS_F32 = 4.6e13
-# Measured VPU op-mix ceiling for the fused EM kernel's instruction
-# blend (scripts/vpu_roofline.py, round 5): register-resident FMA
-# 1.49 TFLOP/s, 24:1 FMA:transcendental blend 1.60 TFLOP-equiv/s.
-VPU_CEILING_FLOPS = 1.6e12
+# Measured VPU ceiling for the fused EM kernel's instruction blend
+# (scripts/vpu_roofline.py, round 5): the kernel does ~520 FMA-FLOPs
+# per posterior element per one exp/log/recip set, so its ceiling is
+# the REGISTER-RESIDENT FMA rate (1.49 TFLOP/s) — not the
+# transcendental-heavy 24:1 'mix' rate (1.60).
+VPU_CEILING_FLOPS = 1.49e12
 
 
 def _setup_compile_cache():
@@ -840,12 +842,13 @@ def main():
         f'device-amortized, mfu_pct {100 * achieved / peak:.1f} '
         f'(vs f32 MXU peak {peak / 1e12:.0f} TFLOP/s), '
         f'{100 * achieved / vpu_ceiling:.0f}% of the MEASURED '
-        f'{vpu_ceiling / 1e12:.1f} TFLOP/s VPU op-mix ceiling '
-        f'(scripts/vpu_roofline.py; register-resident FMA 1.49, '
-        f'EM blend 1.60 TFLOP-equiv/s — the kernel is at/above the '
-        f'pure-VPU roofline via Hermitian-symmetry savings, so the '
-        f'MXU-relative MFU is this op mix\'s measured speed of '
-        f'light, see docs/DESIGN.md "Measured roofline")',
+        f'{vpu_ceiling / 1e12:.2f} TFLOP/s VPU ceiling '
+        f'(scripts/vpu_roofline.py register-resident FMA rate — the '
+        f'EM blend is ~520 FMA-FLOPs per transcendental set; the '
+        f'kernel is at/above the pure-VPU roofline via '
+        f'Hermitian-symmetry savings, so the MXU-relative MFU is '
+        f'this op mix\'s measured speed of light, see docs/DESIGN.md '
+        f'"Measured roofline")',
         file=sys.stderr,
     )
 

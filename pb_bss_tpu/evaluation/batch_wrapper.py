@@ -25,6 +25,7 @@ import numpy as np
 import pb_bss_tpu
 
 from .module_bss_eval_device import bss_eval_sources_batch
+from .module_si_sdr import si_sdr_allow_float32 as _si_sdr_allow_f32
 from .module_stoi_device import stoi_batch
 from .wrapper import VerboseKeyError, _pesq_available
 
@@ -172,7 +173,8 @@ class InputMetricsBatch:
         return np.asarray(pb_bss_tpu.evaluation.si_sdr(
             reference=self.speech_source[..., :, None, :],
             estimation=self.observation[..., None, :, :],
-            allow_float32=self.observation.dtype != np.float64,
+            allow_float32=_si_sdr_allow_f32(
+                self.speech_source, self.observation),
         ))
 
     @cached_property
@@ -412,7 +414,8 @@ class OutputMetricsBatch:
         return np.asarray(pb_bss_tpu.evaluation.si_sdr(
             reference=self.speech_source,
             estimation=self.speech_prediction_selection,
-            allow_float32=self.speech_source.dtype != np.float64,
+            allow_float32=_si_sdr_allow_f32(
+                self.speech_source, self.speech_prediction_selection),
         ))
 
     # ------------------------------------------------------------------

@@ -9,7 +9,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['si_sdr']
+__all__ = ['si_sdr', 'si_sdr_allow_float32']
+
+
+def si_sdr_allow_float32(*arrays):
+    """The facades' auto-opt-in policy for :func:`si_sdr`'s
+    ``allow_float32``: True exactly when every input is floating AND
+    at least one is float32 (the device-first evaluation mode).
+    Integer inputs keep raising the reference's f64 assert — treating
+    any non-f64 dtype as an opt-in would let int16 PCM silently
+    compute garbage (integer sums overflow in the energy terms)."""
+    dts = [a.dtype if hasattr(a, 'dtype') else np.asarray(a).dtype
+           for a in arrays]
+    return (all(np.issubdtype(dt, np.floating) for dt in dts)
+            and any(dt == np.float32 for dt in dts))
 
 
 def si_sdr(reference, estimation, *, allow_float32=False):

@@ -87,13 +87,18 @@ def choose_init_tile_t(d, k, *, tile_f, tile_t=512, has_sal=False,
                        has_mask=False, vmem_budget=10 * 2 ** 20):
     """Largest time block (a divisor of ``tile_t``, so the staged
     padding serves both launches) whose from_init layout fits the
-    budget at ``tile_f``; None if even 8 frames do not fit."""
+    budget at ``tile_f``; None if no DIVIDING candidate fits (for a
+    non-power-of-two ``tile_t`` the halving chain stops at the first
+    odd value — blind halving could land on a feasible size that does
+    not divide ``tile_t`` and corrupt the shared staging)."""
     tt = tile_t
     while tt >= 8:
         per_lane = 4 * _per_lane_floats(
             d, k, tt, has_sal=has_sal, has_mask=has_mask, init=True)
         if tile_f * per_lane <= vmem_budget:
             return tt
+        if tt % 2:
+            break
         tt //= 2
     return None
 
@@ -309,8 +314,12 @@ def cacgmm_em_long(y_re, y_im, affiliation, quadratic_form, *,
     tile_t_init = choose_init_tile_t(
         D, K, tile_f=tile_f, tile_t=tile_t,
         has_sal=has_sal, has_mask=has_mask)
-    assert tile_t_init is not None and tile_t % tile_t_init == 0, (
-        tile_t, tile_t_init)
+    if tile_t_init is None:
+        raise ValueError(
+            f'no from_init time block dividing tile_t={tile_t} fits '
+            f'the VMEM budget at tile_f={tile_f} (D={D}, K={K}) — '
+            f'pass a power-of-two tile_t or a smaller tile_f')
+    assert tile_t % tile_t_init == 0, (tile_t, tile_t_init)
     grid_init = (f_pad // tile_f, t_pad // tile_t_init)
     rdtype = jnp.float32
 

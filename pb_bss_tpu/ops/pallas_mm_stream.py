@@ -89,14 +89,17 @@ def choose_tiles_mm(d, k, *, family, has_sal=False,
 def choose_init_tile_t_mm(d, k, *, family, tile_f, tile_t=512,
                           has_sal=False, vmem_budget=10 * 2 ** 20):
     """Largest time block (a divisor of ``tile_t``) whose from-init
-    layout fits the budget at ``tile_f``; None if even 8 frames do
-    not fit."""
+    layout fits the budget at ``tile_f``; None if no DIVIDING
+    candidate fits (halving stops at the first odd value so a
+    non-power-of-two ``tile_t`` never yields a non-divisor)."""
     tt = tile_t
     while tt >= 8:
         per_lane = 4 * _per_lane_floats_mm(
             d, k, tt, family=family, has_sal=has_sal, init=True)
         if tile_f * per_lane <= vmem_budget:
             return tt
+        if tt % 2:
+            break
         tt //= 2
     return None
 
@@ -287,8 +290,13 @@ def _stream_machinery(y_re, y_im, affiliation, saliency, *, family,
     tile_t_init = choose_init_tile_t_mm(
         D, K, family=family, tile_f=tile_f, tile_t=tile_t,
         has_sal=has_sal)
-    assert tile_t_init is not None and tile_t % tile_t_init == 0, (
-        tile_t, tile_t_init)
+    if tile_t_init is None:
+        raise ValueError(
+            f'no from-init time block dividing tile_t={tile_t} fits '
+            f'the VMEM budget at tile_f={tile_f} ({family}, D={D}, '
+            f'K={K}) — pass a power-of-two tile_t or a smaller '
+            f'tile_f')
+    assert tile_t % tile_t_init == 0, (tile_t, tile_t_init)
     grid_init = (f_pad // tile_f, t_pad // tile_t_init)
 
     y_re_s = _stage_planes(y_re_f, t_pad, f_pad)

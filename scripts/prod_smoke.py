@@ -39,9 +39,11 @@ from pb_bss_tpu.models.gmm import GMMTrainer
 
 step('cacgmm fit+predict', lambda: np.asarray(
     CACGMMTrainer().fit(yj, num_classes=K, iterations=3).predict(yj)))
+from pb_bss_tpu.permutation_alignment import GreedyPermutationAlignment
 step('cacgmm fc+aligner', lambda: np.asarray(CACGMMTrainer().fit(
     yj, num_classes=K, iterations=3,
-    weight_constant_axis=(-3, -1)).weight))
+    weight_constant_axis=(-3, -1),
+    inline_permutation_aligner=GreedyPermutationAlignment()).weight))
 aff0 = jnp.asarray((rng.uniform(size=(F, K, T)) /
                     1).astype(np.float32))
 aff0 = aff0 / aff0.sum(-2, keepdims=True)

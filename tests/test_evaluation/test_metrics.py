@@ -383,3 +383,30 @@ def test_output_metrics_si_sdr_f32_device_inputs():
         speech_source=ref.astype(np.float32),
         sample_rate=8000, enable_si_sdr=True)
     assert np.isfinite(np.asarray(m.si_sdr)).all()
+
+
+def test_si_sdr_facade_gate_rejects_integers_and_allows_mixed():
+    """Review findings (r5): the auto-opt-in gate must (a) keep
+    rejecting integer inputs — int16 PCM through allow_float32 would
+    silently compute garbage (integer energy sums overflow), and
+    (b) accept the very case it exists for: an f64 reference with an
+    f32 device-produced estimation."""
+    import pytest
+    from pb_bss_tpu.evaluation.wrapper import OutputMetrics
+
+    rng = np.random.RandomState(7)
+    ref = rng.randn(2, 2000)
+    est = ref + 0.2 * rng.randn(2, 2000)
+
+    pcm = (np.clip(ref, -1, 1) * 32767).astype(np.int16)
+    m_int = OutputMetrics(
+        speech_prediction=pcm, speech_source=pcm,
+        sample_rate=8000, enable_si_sdr=True)
+    with pytest.raises(AssertionError, match='float64'):
+        m_int.si_sdr
+
+    m_mixed = OutputMetrics(
+        speech_prediction=est.astype(np.float32),
+        speech_source=ref,            # f64 reference, f32 estimate
+        sample_rate=8000, enable_si_sdr=True)
+    assert np.isfinite(np.asarray(m_mixed.si_sdr)).all()
